@@ -1,0 +1,74 @@
+"""Sequential oracle: plain-Python loop over rows, no Ray.
+
+Golden-output producer for the byte-identity contract (FIXTURES.md): the
+oracle imports the exact same kernel chain the Ray stages run
+(:func:`pero_ocr_ray.kernels.emit.extract_document`), so pipeline-vs-oracle
+equality checks scheduling/assembly, not kernel drift — mirroring the
+reference's golden-output E2E strategy
+(/root/reference/test/processing_test.sh:83-124).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pero_ocr_ray.kernels.config import ExtractConfig, DEFAULT_CONFIG
+from pero_ocr_ray.kernels.emit import extract_document
+
+SPAN_TYPE = pa.list_(pa.struct([
+    ("block_id", pa.string()),
+    ("line_id", pa.string()),
+    ("char_start", pa.int64()),
+    ("char_end", pa.int64()),
+]))
+METRICS_TYPE = pa.struct([
+    ("blocks_total", pa.int32()),
+    ("blocks_kept", pa.int32()),
+    ("blocks_dropped", pa.int32()),
+    ("chars_emitted", pa.int64()),
+])
+
+OUTPUT_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("row_id", pa.int64()),
+    ("warc_ts", pa.timestamp("us")),
+    ("lang", pa.string()),
+    ("extracted_text", pa.string()),
+    ("spans", SPAN_TYPE),
+    ("metrics", METRICS_TYPE),
+    ("payload_kind", pa.string()),
+    ("encoding", pa.string()),
+    ("error", pa.string()),
+])
+
+
+def rows_to_output_table(rows: list[dict]) -> pa.Table:
+    """Build the canonical output Arrow table from extract_document rows."""
+    cols = {name: [] for name in OUTPUT_SCHEMA.names}
+    for r in rows:
+        for name in OUTPUT_SCHEMA.names:
+            cols[name].append(r.get(name))
+    return pa.table(
+        {n: pa.array(cols[n], OUTPUT_SCHEMA.field(n).type) for n in OUTPUT_SCHEMA.names},
+        schema=OUTPUT_SCHEMA,
+    )
+
+
+def extract_table(pages: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Sequential extraction over a pages table -> output table (row order in)."""
+    urls = pages.column("url").to_pylist()
+    htmls = pages.column("html").to_pylist()
+    langs = (pages.column("lang").to_pylist()
+             if "lang" in pages.column_names else [""] * len(urls))
+    tss = (pages.column("warc_ts").to_pylist()
+           if "warc_ts" in pages.column_names else [None] * len(urls))
+    row_ids = (pages.column("row_id").to_pylist()
+               if "row_id" in pages.column_names else list(range(len(urls))))
+    rows = []
+    for url, raw, lang, ts, rid in zip(urls, htmls, langs, tss, row_ids):
+        out = extract_document(url, raw, cfg)
+        out["lang"] = lang
+        out["warc_ts"] = ts
+        out["row_id"] = rid
+        rows.append(out)
+    return rows_to_output_table(rows)

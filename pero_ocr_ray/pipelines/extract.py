@@ -1,0 +1,180 @@
+"""The flagship extraction pipeline (SURVEY.md §7.2 stage graph).
+
+    read_parquet(pages)
+      └─ [optional] dedup url (groupby, keep latest warc_ts)      # shuffle
+      └─ [optional] size-bucket repartition (skew handling)       # shuffle
+      └─ map_batches(ParseExtractStage, concurrency=N)            # actor pool
+      └─ write_parquet(out/part=K) + manifest                     # resumable
+
+Everything else is narrow and streams; the parse stage is the only heavy
+compute. Never calls ``ray.init``/``ray.shutdown`` (driver owns the session).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from pero_ocr_ray.kernels.config import ExtractConfig, DEFAULT_CONFIG
+from pero_ocr_ray.stages.extract import (
+    ClassifyStage, ParseExtractStage, decode_stage, emit_stage, order_stage,
+    parse_stage, segment_stage,
+)
+from pero_ocr_ray.state.manifest import Manifest
+
+
+def _auto_concurrency() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, cpus - 1)
+
+
+def read_pages(source, columns: list[str] | None = None) -> rd.Dataset:
+    """Pages Dataset from a parquet path/dir, an Arrow table, or a Dataset."""
+    if isinstance(source, rd.Dataset):
+        return source
+    if isinstance(source, pa.Table):
+        return rd.from_arrow(source)
+    return rd.read_parquet(source, columns=columns)
+
+
+def dedup_pages(ds: rd.Dataset) -> rd.Dataset:
+    """Exact url dedup, keep latest ``warc_ts`` (tie-break: larger row_id).
+
+    Hash-shuffle keyed on url (SURVEY §2.7 new-engine requirement). The
+    group function is Arrow-native and deterministic.
+    """
+    def keep_latest(group: pa.Table) -> pa.Table:
+        if group.num_rows == 1:
+            return group
+        ts = group.column("warc_ts")
+        rid = (group.column("row_id") if "row_id" in group.column_names
+               else pa.chunked_array([pa.array(range(group.num_rows), pa.int64())]))
+        order = sorted(range(group.num_rows),
+                       key=lambda i: (ts[i].as_py(), rid[i].as_py()))
+        return group.take([order[-1]])
+
+    return ds.groupby("url").map_groups(keep_latest, batch_format="pyarrow")
+
+
+def add_size_buckets(ds: rd.Dataset, edges=(4096, 65536, 1 << 20)) -> rd.Dataset:
+    """Annotate rows with a byte-length bucket id (O5 width-sort analog,
+    /root/reference/pero_ocr/ocr_engine/line_ocr_engine.py:79-92): heavy
+    rows group together so parse batches have homogeneous cost."""
+    def bucketize(batch: pa.Table) -> pa.Table:
+        lens = pc.binary_length(batch.column("html"))
+        bucket = pa.array([sum(1 for e in edges if v >= e) if v is not None else 0
+                           for v in lens.to_pylist()], pa.int32())
+        return batch.append_column("size_bucket", bucket)
+    return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def extract_pipeline(ds: rd.Dataset, cfg: ExtractConfig = DEFAULT_CONFIG,
+                     mode: str = "fused",
+                     concurrency: int | None = None) -> rd.Dataset:
+    """Compile the extraction chain onto a pages Dataset (lazy)."""
+    if cfg.dedup_urls:
+        ds = dedup_pages(ds)
+    if cfg.size_bucketing:
+        ds = add_size_buckets(ds)
+        ds = ds.sort("size_bucket")  # co-locate similar-cost rows (shuffle)
+    n_actors = concurrency or cfg.parse_concurrency or _auto_concurrency()
+    if mode == "fused":
+        return ds.map_batches(
+            ParseExtractStage,
+            fn_constructor_kwargs={"cfg": cfg.to_dict()},
+            batch_format="pyarrow",
+            batch_size=cfg.parse_batch_size,
+            concurrency=n_actors,
+            num_cpus=1,
+        )
+    if mode == "staged":
+        b = cfg.vector_batch_size
+        ds = ds.map_batches(functools.partial(decode_stage, cfg=cfg),
+                            batch_format="pyarrow", batch_size=b)
+        ds = ds.map_batches(functools.partial(parse_stage, cfg=cfg),
+                            batch_format="pyarrow", batch_size=cfg.parse_batch_size)
+        ds = ds.map_batches(functools.partial(segment_stage, cfg=cfg),
+                            batch_format="pyarrow", batch_size=b)
+        ds = ds.map_batches(ClassifyStage,
+                            fn_constructor_kwargs={"cfg": cfg.to_dict()},
+                            batch_format="pyarrow", batch_size=b,
+                            concurrency=max(1, n_actors // 2), num_cpus=1)
+        ds = ds.map_batches(functools.partial(order_stage, cfg=cfg),
+                            batch_format="pyarrow", batch_size=b)
+        ds = ds.map_batches(functools.partial(emit_stage, cfg=cfg),
+                            batch_format="pyarrow", batch_size=b)
+        return ds
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# resumable job driver (J4/D1 analog: skip-processed anti-join,
+# /root/reference/user_scripts/parse_folder.py:73-102,314-323)
+# ---------------------------------------------------------------------------
+
+
+def run_job(input_paths: list[str] | str, out_dir: str,
+            cfg: ExtractConfig = DEFAULT_CONFIG, mode: str = "fused",
+            concurrency: int | None = None,
+            fail_after: int | None = None) -> dict:
+    """Run extraction over input parquet files as resumable partitions.
+
+    One partition = one input file (at 100 TB: one input shard). Finished
+    partitions are recorded in ``out_dir/_manifest/``; a rerun skips them
+    (the reference's skip-processed semantics). Output files are written to a
+    temp dir and renamed into place so partial writes are invisible.
+
+    ``fail_after``: test hook — raise after committing that many partitions.
+    """
+    if isinstance(input_paths, str):
+        if os.path.isdir(input_paths):
+            input_paths = sorted(
+                os.path.join(input_paths, f) for f in os.listdir(input_paths)
+                if f.endswith(".parquet"))
+        else:
+            input_paths = [input_paths]
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    stats = {"partitions_total": len(input_paths), "partitions_skipped": 0,
+             "partitions_done": 0, "rows": 0}
+    for pid, path in enumerate(input_paths):
+        key = f"part={pid:05d}"
+        if key in done:
+            stats["partitions_skipped"] += 1
+            continue
+        ds = rd.read_parquet(path)
+        out = extract_pipeline(ds, cfg, mode=mode, concurrency=concurrency)
+        tmp = os.path.join(out_dir, f"_tmp_{key}")
+        final = os.path.join(out_dir, key)
+        out.write_parquet(tmp)
+        n_rows = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows
+                     for f in os.listdir(tmp) if f.endswith(".parquet"))
+        if os.path.exists(final):
+            import shutil
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        manifest.commit(key, {"source_file": path, "rows": n_rows})
+        stats["partitions_done"] += 1
+        stats["rows"] += n_rows
+        if fail_after is not None and stats["partitions_done"] >= fail_after:
+            raise RuntimeError(f"injected failure after {fail_after} partitions")
+    return stats
+
+
+def read_job_output(out_dir: str) -> rd.Dataset:
+    """Read back a job's committed output partitions."""
+    manifest = Manifest(out_dir)
+    files = []
+    for p in sorted(manifest.completed()):
+        d = os.path.join(out_dir, p)
+        files.extend(sorted(os.path.join(d, f) for f in os.listdir(d)
+                            if f.endswith(".parquet")))
+    return rd.read_parquet(files)

@@ -1,0 +1,120 @@
+"""Ray pipeline vs sequential oracle: byte-identity, determinism across
+parallelism configs, dedup, resume (FIXTURES.md golden contract §tests 1-4).
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from pero_ocr_ray.kernels.config import ExtractConfig
+from pero_ocr_ray.oracle import extract_table
+from pero_ocr_ray.pipelines.extract import (
+    dedup_pages, extract_pipeline, read_pages, read_job_output, run_job,
+)
+from pero_ocr_ray.sources.pages import synthesize_pages
+from pero_ocr_ray.util import dataset_to_table
+
+ROWS = 72
+CMP_COLS = ("extracted_text", "spans", "metrics", "payload_kind", "encoding", "error")
+
+
+@pytest.fixture(scope="module")
+def pages():
+    return synthesize_pages(ROWS)
+
+
+@pytest.fixture(scope="module")
+def golden(pages):
+    return extract_table(pages).sort_by("row_id")
+
+
+def _assert_identical(tbl: pa.Table, golden: pa.Table):
+    tbl = tbl.sort_by("row_id")
+    assert tbl.num_rows == golden.num_rows
+    for col in CMP_COLS:
+        assert tbl.column(col).to_pylist() == golden.column(col).to_pylist(), col
+
+
+def test_fused_pipeline_byte_identical(pages, golden):
+    out = extract_pipeline(read_pages(pages), concurrency=2)
+    _assert_identical(dataset_to_table(out), golden)
+
+
+def test_staged_pipeline_byte_identical(pages, golden):
+    out = extract_pipeline(read_pages(pages), mode="staged", concurrency=2)
+    _assert_identical(dataset_to_table(out), golden)
+
+
+def test_parallelism_invariance(pages, golden):
+    """Same input at different parallelism/batch shapes -> identical bytes."""
+    cfg_a = ExtractConfig(parse_batch_size=4)
+    cfg_b = ExtractConfig(parse_batch_size=64)
+    ds = read_pages(pages)
+    out_a = dataset_to_table(extract_pipeline(ds, cfg_a, concurrency=1))
+    out_b = dataset_to_table(extract_pipeline(ds, cfg_b, concurrency=3))
+    _assert_identical(out_a, golden)
+    _assert_identical(out_b, golden)
+
+
+def test_repartitioned_input_invariance(pages, golden):
+    ds = read_pages(pages).repartition(7)
+    out = extract_pipeline(ds, concurrency=2)
+    _assert_identical(dataset_to_table(out), golden)
+
+
+def test_dedup_keeps_latest(pages):
+    ds = dedup_pages(read_pages(pages))
+    tbl = dataset_to_table(ds)
+    urls = tbl.column("url").to_pylist()
+    assert len(urls) == len(set(urls))
+    # the dup_url rows: the later warc_ts row must be the survivor
+    full = pages.to_pylist()
+    from collections import defaultdict
+    by_url = defaultdict(list)
+    for r in full:
+        by_url[r["url"]].append(r)
+    survivors = {r["url"]: r["row_id"] for r in tbl.to_pylist()}
+    for url, rows in by_url.items():
+        expect = max(rows, key=lambda r: (r["warc_ts"], r["row_id"]))["row_id"]
+        assert survivors[url] == expect
+
+
+def test_size_bucketing_invariance(pages, golden):
+    cfg = ExtractConfig(size_bucketing=True)
+    out = extract_pipeline(read_pages(pages), cfg, concurrency=2)
+    _assert_identical(dataset_to_table(out), golden)
+
+
+def test_resume_after_failure(tmp_path, pages, golden):
+    """Kill after partition k, restart, identical final table (FIXTURES §4)."""
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    # 4 input partitions
+    import pyarrow.parquet as pq
+    n = pages.num_rows
+    paths = []
+    for k in range(4):
+        p = str(in_dir / f"shard_{k}.parquet")
+        pq.write_table(pages.slice(k * n // 4, n // 4), p)
+        paths.append(p)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_job(paths, out_dir, concurrency=2, fail_after=2)
+
+    from pero_ocr_ray.state.manifest import Manifest
+    assert len(Manifest(out_dir).completed()) == 2
+
+    stats = run_job(paths, out_dir, concurrency=2)
+    assert stats["partitions_skipped"] == 2
+    assert stats["partitions_done"] == 2
+
+    tbl = dataset_to_table(read_job_output(out_dir))
+    _assert_identical(tbl, golden)
+    # manifest carries lineage + row counts
+    recs = Manifest(out_dir).records()
+    assert sum(r["rows"] for r in recs) == pages.num_rows
+    assert all("source_file" in r for r in recs)
