@@ -1,44 +1,322 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline over pages synthesized
+deterministically from the sf0.001 ``documents`` table. ``queries()`` maps
+operator names (SURVEY.md §2 + training-data ops) to callables over an
+``sf_dir``; ``oracle_sql()`` gives DuckDB-equivalent SQL where the operator
+is SQL-expressible (extraction byte-identity is additionally enforced by
+``python -m pytest`` against the sequential oracle — see tests/).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# Ray workers inherit env, not sys.path: make the package importable there.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+import pyarrow.parquet as pq  # noqa: E402
+
+import ray.data as rd  # noqa: E402
+
+
+def _pages(sf_dir: str, template: str):
+    from pero_ocr_ray.sources.pages import pages_from_documents
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    pages = pages_from_documents(docs, template)
+    # from_arrow yields one block; split so the parse actor pool has work
+    return rd.from_arrow(pages).repartition(max(2, pages.num_rows // 64))
+
+
+def _extract(sf_dir: str, template: str, mode: str = "fused"):
+    from pero_ocr_ray.pipelines.extract import extract_pipeline
+    return extract_pipeline(_pages(sf_dir, template), mode=mode, concurrency=4)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (full case catalog)."""
+    return _extract("/root/testdata/sf0.001", "cases")
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_simple(sf_dir: str):
+    return _extract(sf_dir, "simple").select_columns(["url", "extracted_text"])
+
+
+def _q_extract_simple_metrics(sf_dir: str):
+    import pyarrow as pa
+
+    def project(t: pa.Table) -> pa.Table:
+        m = t.column("metrics")
+        return pa.table({
+            "url": t.column("url"),
+            "blocks_kept": m.combine_chunks().field("blocks_kept"),
+            "chars_emitted": m.combine_chunks().field("chars_emitted"),
+        })
+    return _extract(sf_dir, "simple").map_batches(project, batch_format="pyarrow")
+
+
+def _q_extract_cases(sf_dir: str):
+    import pyarrow as pa
+
+    def project(t: pa.Table) -> pa.Table:
+        m = t.column("metrics").combine_chunks()
+        return pa.table({
+            "url": t.column("url"),
+            "extracted_text": t.column("extracted_text"),
+            "payload_kind": t.column("payload_kind"),
+            "blocks_kept": m.field("blocks_kept"),
+            "blocks_dropped": m.field("blocks_dropped"),
+            "chars_emitted": m.field("chars_emitted"),
+        })
+    return _extract(sf_dir, "cases").map_batches(project, batch_format="pyarrow")
+
+
+def _q_extract_staged(sf_dir: str):
+    return (_extract(sf_dir, "simple", mode="staged")
+            .select_columns(["url", "extracted_text"]))
+
+
+def _q_dedup_pages(sf_dir: str):
+    """Url dedup keep-latest over pages with injected duplicates (rows-only)."""
+    import pyarrow as pa
+    from pero_ocr_ray.pipelines.extract import dedup_pages
+    from pero_ocr_ray.sources.pages import pages_from_documents
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    base = pages_from_documents(docs, "simple")
+    # duplicate every 10th row with a later warc_ts (the dup must win)
+    import numpy as np
+    import pyarrow.compute as pc
+    rid_np = base.column("row_id").to_numpy()
+    dups = base.filter(pa.array(rid_np % 10 == 0))
+    later = pc.add(dups.column("warc_ts"), pa.scalar(10_000_000, pa.duration("us")))
+    dups = dups.set_column(dups.column_names.index("warc_ts"), "warc_ts", later)
+    rid = pc.add(dups.column("row_id"), pa.scalar(1_000_000, pa.int64()))
+    dups = dups.set_column(dups.column_names.index("row_id"), "row_id", rid)
+    both = pa.concat_tables([base, dups])
+    return (dedup_pages(rd.from_arrow(both))
+            .select_columns(["url", "row_id"]))
+
+
+def _q_merge_best(sf_dir: str):
+    """N-way merge: cases-vs-simple engines, keep best per url (rows-only)."""
+    from pero_ocr_ray.pipelines.merge import merge_results
+    a = _extract(sf_dir, "simple").select_columns(["url", "extracted_text"])
+    b = _extract(sf_dir, "cases").select_columns(["url", "extracted_text"])
+    return merge_results([a, b])
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _q_token_counts(sf_dir: str):
+    from pero_ocr_ray.functions.textstats import token_counts
+    return token_counts(_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str):
+    from pero_ocr_ray.functions.textstats import quality_scores
+    return quality_scores(_docs(sf_dir))
+
+
+def _q_content_hash(sf_dir: str):
+    from pero_ocr_ray.functions.textstats import content_hashes
+    return content_hashes(_docs(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    from pero_ocr_ray.functions.textstats import lang_ids
+    return lang_ids(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str):
+    from pero_ocr_ray.functions.textstats import fingerprints
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_dedup_exact(sf_dir: str):
+    from pero_ocr_ray.functions.dedup import exact_dedup_groups
+    return exact_dedup_groups(_docs(sf_dir))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from pero_ocr_ray.functions.dedup import minhash_near_dup_pairs
+    return minhash_near_dup_pairs(_docs(sf_dir), threshold=0.7)
+
+
+def _q_simhash_sigs(sf_dir: str):
+    from pero_ocr_ray.functions.dedup import simhash_signatures
+    return simhash_signatures(_docs(sf_dir))
+
+
+def _q_knn(sf_dir: str):
+    from pero_ocr_ray.functions.similarity import knn_self_queries
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_self_queries(emb, n_queries=5, top_k=10)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    """Near-dup pairs; the corpus has none, so inject exact copies of the
+    first 10 vectors (vec_id + 1_000_000) — expect exactly those 10 pairs."""
+    import numpy as np
+    import pyarrow as pa
+    from pero_ocr_ray.functions.similarity import embedding_near_dup_pairs
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    head = tbl.slice(0, 10)
+    dup_ids = pa.array((head.column("vec_id").to_numpy() + 1_000_000), pa.int64())
+    dups = head.set_column(head.column_names.index("vec_id"), "vec_id", dup_ids)
+    both = pa.concat_tables([tbl, dups])
+    return embedding_near_dup_pairs(rd.from_arrow(both), threshold=0.95)
+
+
+def _q_events_hourly(sf_dir: str):
+    from pero_ocr_ray.functions.windows import tumbling_window_counts
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return tumbling_window_counts(ev, "h")
+
+
+def _q_q1(sf_dir: str):
+    from pero_ocr_ray.functions.relational import pricing_summary
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return pricing_summary(li, "2000-01-01")
+
+
+def _q_q3(sf_dir: str):
+    from pero_ocr_ray.functions.relational import top_orders_by_revenue
+    c = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return top_orders_by_revenue(c, o, li, "BUILDING", "1998-01-01", 10)
+
+
+def _q_suppliers_per_nation(sf_dir: str):
+    from pero_ocr_ray.functions.relational import suppliers_per_nation
+    s = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"))
+    n = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    return suppliers_per_nation(s, n)
+
+
+def _q_lang_counts(sf_dir: str):
+    from pero_ocr_ray.functions.relational import lang_counts
+    return lang_counts(_docs(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "extract_simple": _q_extract_simple,
+        "extract_simple_metrics": _q_extract_simple_metrics,
+        "extract_cases": _q_extract_cases,
+        "extract_staged": _q_extract_staged,
+        "dedup_pages_latest": _q_dedup_pages,
+        "merge_best": _q_merge_best,
+        "doc_token_counts": _q_token_counts,
+        "doc_quality": _q_quality,
+        "doc_content_hash": _q_content_hash,
+        "doc_lang_id": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        "dedup_exact_groups": _q_dedup_exact,
+        "minhash_near_dup_pairs": _q_minhash_pairs,
+        "simhash_signatures": _q_simhash_sigs,
+        "knn_cosine": _q_knn,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "events_hourly": _q_events_hourly,
+        "q1_pricing": _q_q1,
+        "q3_top_orders": _q_q3,
+        "suppliers_per_nation": _q_suppliers_per_nation,
+        "doc_lang_counts": _q_lang_counts,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_URL_SQL = "'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR)"
+_CANON_SQL = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+_STOPWORD_SQL = r"\b(?:the|and|of|a|to|in|is|for|on|with)\b"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_simple": f"""
+            SELECT {_URL_SQL} AS url, {_CANON_SQL} AS extracted_text
+            FROM documents""",
+        "extract_simple_metrics": f"""
+            SELECT {_URL_SQL} AS url,
+                   CAST(1 AS INTEGER) AS blocks_kept,
+                   CAST(length({_CANON_SQL}) AS BIGINT) AS chars_emitted
+            FROM documents""",
+        "extract_staged": f"""
+            SELECT {_URL_SQL} AS url, {_CANON_SQL} AS extracted_text
+            FROM documents""",
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents""",
+        "doc_quality": rf"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(lower(text), '{_STOPWORD_SQL}')) AS BIGINT) AS n_stopwords,
+                   CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+            FROM documents""",
+        "doc_content_hash": "SELECT doc_id, md5(text) AS content_hash FROM documents",
+        "dedup_exact_groups": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   md5(text) AS content_hash,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text""",
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                              list_cosine_similarity(q.qe, e.embedding) AS sim
+                       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+                 r AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, neighbor_id) AS rank
+                       FROM s)
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10""",
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_cents,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_cents,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "q3_top_orders": """
+            SELECT o.o_orderkey,
+                   CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)
+                       AS revenue_cents,
+                   o.o_orderdate
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_cents DESC, o.o_orderkey ASC
+            LIMIT 10""",
+        "suppliers_per_nation": """
+            SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
+        "doc_lang_counts": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang""",
+    }

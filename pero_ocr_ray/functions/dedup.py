@@ -1,0 +1,210 @@
+"""Deduplication operators over a ``documents`` table.
+
+Shapes (all hash-partitioned on content keys, no driver-side row loops):
+
+* exact: md5 content hash -> groupby(hash) -> keep min doc_id per group;
+* MinHash-LSH near-dup: signature per doc (actor pool) -> explode to
+  (band_key, doc_id, signature) -> groupby(band_key) -> candidate pairs with
+  signature-estimated Jaccard -> pair dedup -> drop the larger id of each
+  confirmed pair;
+* SimHash: 64-bit signatures + banded prefix blocking for hamming<=N pairs;
+* embedding cosine near-dup: see functions/similarity.py.
+
+Scale notes: the only shuffles are the groupbys on content-hash / band keys
+(uniformly distributed by construction). Pair confirmation uses the MinHash
+signatures carried with the candidates — no second pass over the corpus.
+Survivor choice is "drop any doc that has a confirmed near-dup with a
+smaller doc_id" — deterministic and one extra groupby; full connected
+components would need iterated label propagation (documented trade-off).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from pero_ocr_ray.kernels import textstats as K
+from pero_ocr_ray.functions.textstats import content_hashes
+
+
+def exact_dedup_groups(ds: rd.Dataset) -> rd.Dataset:
+    """-> (doc_id, content_hash, n_copies): survivor (min doc_id) per
+    distinct text + group size. Matches SQL GROUP BY text."""
+    hashed = content_hashes(ds)
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": [int(group["doc_id"].min())],
+            "content_hash": [group["content_hash"].iloc[0]],
+            "n_copies": [len(group)],
+        })
+
+    return hashed.groupby("content_hash").map_groups(pick, batch_format="pandas")
+
+
+def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
+    """Full survivor rows (the dedup'd corpus)."""
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        df = df.copy()
+        df["content_hash"] = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                              for t in df["text"]]
+        return df
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values("doc_id").head(1).drop(columns=["content_hash"])
+
+    return (ds.map_batches(add_hash, batch_format="pandas")
+              .groupby("content_hash").map_groups(pick, batch_format="pandas"))
+
+
+# -- MinHash-LSH -----------------------------------------------------------
+
+
+class MinHashStage:
+    """Actor pool: signature per doc, exploded to LSH band rows."""
+
+    def __init__(self, k: int = 3):
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        band_keys, doc_ids, sigs = [], [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            sig = K.minhash_signature(text, self.k)
+            sig_list = sig.astype(np.int64).tolist()
+            for key in K.lsh_band_keys(sig):
+                band_keys.append(key)
+                doc_ids.append(int(did))
+                sigs.append(sig_list)
+        return pd.DataFrame({"band_key": band_keys, "doc_id": doc_ids,
+                             "signature": sigs})
+
+
+def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket, Jaccard estimated from the
+    signatures riding along (no corpus re-join)."""
+    if len(group) < 2:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "est_jaccard": pd.Series([], dtype="float64")})
+    g = group.drop_duplicates("doc_id").sort_values("doc_id")
+    ids = g["doc_id"].to_numpy()
+    sigs = np.array(g["signature"].tolist(), dtype=np.int64)
+    rows_a, rows_b, est = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            rows_a.append(int(ids[i]))
+            rows_b.append(int(ids[j]))
+            est.append(float(np.mean(sigs[i] == sigs[j])))
+    return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "est_jaccard": est})
+
+
+def minhash_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.7,
+                           k: int = 3, concurrency: int = 2) -> rd.Dataset:
+    """-> distinct (doc_a, doc_b, est_jaccard) with doc_a < doc_b and
+    estimated Jaccard >= threshold."""
+    bands = ds.map_batches(MinHashStage, fn_constructor_kwargs={"k": k},
+                           batch_format="pandas", concurrency=concurrency)
+    pairs = bands.groupby("band_key").map_groups(_band_pairs,
+                                                 batch_format="pandas")
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["est_jaccard"], threshold)),
+        batch_format="pyarrow")
+
+    def dedup_pair(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pair_key"] = df["doc_a"].astype(str) + ":" + df["doc_b"].astype(str)
+        return df
+
+    return (pairs.map_batches(add_key, batch_format="pandas")
+                 .groupby("pair_key").map_groups(dedup_pair, batch_format="pandas")
+                 .drop_columns(["pair_key"]))
+
+
+def minhash_dedup_drop_ids(ds: rd.Dataset, threshold: float = 0.7,
+                           k: int = 3) -> rd.Dataset:
+    """-> (doc_id,) docs to DROP: any doc with a confirmed near-dup of
+    smaller id (deterministic approximation of connected components)."""
+    pairs = minhash_near_dup_pairs(ds, threshold, k)
+
+    def drops(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_b")})
+
+    dropped = pairs.map_batches(drops, batch_format="pyarrow")
+
+    def uniq(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return dropped.groupby("doc_id").map_groups(uniq, batch_format="pandas")
+
+
+# -- SimHash ---------------------------------------------------------------
+
+
+class SimHashStage:
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            # int64 view of the uint64 simhash (Arrow-friendly)
+            "simhash": [np.uint64(K.simhash64(t)).astype(np.int64)
+                        for t in df["text"]],
+        })
+
+
+def simhash_signatures(ds: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
+    return ds.map_batches(SimHashStage, batch_format="pandas",
+                          concurrency=concurrency)
+
+
+def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
+                           concurrency: int = 2) -> rd.Dataset:
+    """Pairs with hamming distance <= max_hamming via 4-block bucketing:
+    two docs within hamming 3 of each other share at least one identical
+    16-bit block of the 64-bit simhash (pigeonhole)."""
+    sigs = simhash_signatures(ds, concurrency)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"block_key": [], "doc_id": [], "simhash": []}
+        for did, sh in zip(df["doc_id"], df["simhash"]):
+            u = np.uint64(sh)
+            for blk in range(4):
+                part = int((u >> np.uint64(16 * blk)) & np.uint64(0xFFFF))
+                rows["block_key"].append(f"{blk}:{part}")
+                rows["doc_id"].append(int(did))
+                rows["simhash"].append(int(sh))
+        return pd.DataFrame(rows)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        shs = g["simhash"].tolist()
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = K.hamming64(np.uint64(shs[i]).item() & 0xFFFFFFFFFFFFFFFF,
+                                np.uint64(shs[j]).item() & 0xFFFFFFFFFFFFFFFF)
+                if d <= max_hamming:
+                    out["doc_a"].append(ids[i])
+                    out["doc_b"].append(ids[j])
+                    out["hamming"].append(d)
+        return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                             for k, v in out.items()})
+
+    cand = sigs.map_batches(explode, batch_format="pandas")
+    found = cand.groupby("block_key").map_groups(pairs, batch_format="pandas")
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pair_key"] = df["doc_a"].astype(str) + ":" + df["doc_b"].astype(str)
+        return df
+
+    return (found.map_batches(add_key, batch_format="pandas")
+                 .groupby("pair_key")
+                 .map_groups(lambda g: g.head(1), batch_format="pandas")
+                 .drop_columns(["pair_key"]))

@@ -1,0 +1,40 @@
+"""Windowed aggregation over the ``events`` stream table.
+
+Ray Data has no event-time windows; tumbling windows are expressed as
+partial aggregation inside ``map_batches`` (floor ts to the window start,
+one partial row per (event_type, window) per batch) followed by one small
+``groupby`` over the partials — the classic combiner pattern, so the
+shuffle moves per-window partials, not raw events.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def tumbling_window_counts(ds: rd.Dataset, freq: str = "h") -> rd.Dataset:
+    """-> (event_type, window_start, n_events) tumbling windows of `freq`."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        win = df["ts"].dt.floor(freq).astype("datetime64[us]")
+        g = (df.assign(window_start=win)
+               .groupby(["event_type", "window_start"], as_index=False)
+               .size().rename(columns={"size": "n_partial"}))
+        g["key"] = g["event_type"] + "|" + g["window_start"].astype("int64").astype(str)
+        return g[["key", "n_partial"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("key").aggregate(Sum("n_partial", alias_name="n_events"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["key"].str.rsplit("|", n=1, expand=True)
+        return pd.DataFrame({
+            "event_type": parts[0],
+            "window_start": pd.to_datetime(parts[1].astype("int64"),
+                                           unit="us").astype("datetime64[us]"),
+            "n_events": df["n_events"].astype("int64"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")

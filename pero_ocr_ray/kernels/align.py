@@ -1,0 +1,82 @@
+"""Sequence alignment kernels: Levenshtein distance / alignment / CER-WER.
+
+From-scratch numpy implementations with the same capabilities as the
+reference's alignment utilities
+(/root/reference/pero_ocr/sequence_alignment.py:4-161) and error summary
+(/root/reference/pero_ocr/error_summary.py:101-163): edit distance, full
+alignment path, and corpus-level character/word error-rate aggregation with
+the classic partial+final shape (per-doc stats then weighted merge).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def levenshtein_distance(a, b) -> int:
+    """Edit distance between two sequences (str or list)."""
+    if len(a) < len(b):
+        a, b = b, a
+    if not b:
+        return len(a)
+    b_arr = np.array(list(b))
+    prev = np.arange(len(b) + 1)
+    for ch in a:
+        cur = np.empty(len(b) + 1, dtype=np.int64)
+        cur[0] = prev[0] + 1
+        # substitution / deletion are vectorizable; the insertion term
+        # (cur[j-1] + 1) is a running dependency -> forward fix-up pass
+        np.minimum(prev[:-1] + (b_arr != ch), prev[1:] + 1, out=cur[1:])
+        for j in range(1, len(cur)):
+            if cur[j] > cur[j - 1] + 1:
+                cur[j] = cur[j - 1] + 1
+        prev = cur
+    return int(prev[-1])
+
+
+def levenshtein_alignment(a: str, b: str) -> list[tuple[str | None, str | None]]:
+    """Full alignment as (a_char|None, b_char|None) pairs (None = gap)."""
+    n, m = len(a), len(b)
+    dp = np.zeros((n + 1, m + 1), dtype=np.int64)
+    dp[:, 0] = np.arange(n + 1)
+    dp[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            dp[i, j] = min(dp[i - 1, j] + 1, dp[i, j - 1] + 1,
+                           dp[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+    path = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and dp[i, j] == dp[i - 1, j - 1] + (a[i - 1] != b[j - 1]):
+            path.append((a[i - 1], b[j - 1]))
+            i, j = i - 1, j - 1
+        elif i > 0 and dp[i, j] == dp[i - 1, j] + 1:
+            path.append((a[i - 1], None))
+            i -= 1
+        else:
+            path.append((None, b[j - 1]))
+            j -= 1
+    return path[::-1]
+
+
+def error_stats(hyp: str, ref: str) -> dict:
+    """Per-document char+word error stats (partial record, mergeable)."""
+    return {
+        "char_errors": levenshtein_distance(hyp, ref),
+        "ref_chars": len(ref),
+        "word_errors": levenshtein_distance(hyp.split(), ref.split()),
+        "ref_words": len(ref.split()),
+        "n_docs": 1,
+    }
+
+
+def merge_error_stats(parts: list[dict]) -> dict:
+    """Weighted merge of partial stats -> corpus CER/WER (G3 analog)."""
+    tot = {"char_errors": 0, "ref_chars": 0, "word_errors": 0,
+           "ref_words": 0, "n_docs": 0}
+    for p in parts:
+        for k in tot:
+            tot[k] += p[k]
+    tot["cer"] = tot["char_errors"] / tot["ref_chars"] if tot["ref_chars"] else 0.0
+    tot["wer"] = tot["word_errors"] / tot["ref_words"] if tot["ref_words"] else 0.0
+    return tot

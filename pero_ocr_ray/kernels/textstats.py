@@ -1,0 +1,174 @@
+"""Text-analysis kernels: tokens, quality features, language ID,
+fingerprints, shingles, MinHash, SimHash.
+
+All hashing is process-independent (zlib.crc32 / hashlib / seeded numpy) —
+never Python's salted ``hash`` — so results are identical across Ray workers
+and the DuckDB/sequential oracles (determinism requirement).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+
+TOKEN_RE = re.compile(r"\S+")
+WORD_RE = re.compile(r"[a-z]+")          # language-ID tokens (letters)
+SHINGLE_RE = re.compile(r"[a-z0-9]+")    # shingle/simhash tokens (alnum)
+PUNCT_RE = re.compile(r"[.,!?;:]")
+
+# Same regex string is used verbatim in the DuckDB oracle SQL.
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "for", "on", "with")
+STOPWORD_RE = re.compile(r"\b(?:%s)\b" % "|".join(STOPWORDS))
+
+# tiny deterministic stopword profiles for the language-ID heuristic
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"},
+    "es": {"el", "la", "los", "que", "y", "de", "en", "un", "una", "por"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"},
+    "cs": {"je", "se", "na", "to", "že", "s", "z", "do", "pro", "jako"},
+}
+
+
+def token_count(text: str) -> int:
+    return len(TOKEN_RE.findall(text))
+
+
+def quality_features(text: str) -> dict:
+    """Deterministic integer quality features for one document."""
+    tokens = TOKEN_RE.findall(text)
+    return {
+        "n_chars": len(text),
+        "n_tokens": len(tokens),
+        "n_stopwords": len(STOPWORD_RE.findall(text.lower())),
+        "n_punct": len(PUNCT_RE.findall(text)),
+        "max_token_len": max((len(t) for t in tokens), default=0),
+    }
+
+
+def lang_id(text: str) -> str:
+    """N-gram/stopword language heuristic -> ISO code or 'und'.
+
+    Deterministic tie-break: highest score, then alphabetical code.
+    """
+    words = set(WORD_RE.findall(text.lower()))
+    best, best_score = "und", 0
+    for code in sorted(LANG_PROFILES):
+        score = len(words & LANG_PROFILES[code])
+        if score > best_score:
+            best, best_score = code, score
+    return best
+
+
+def content_hash(text: str) -> str:
+    """md5 hex of utf-8 text (exact-dup key; matches DuckDB ``md5(text)``)."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+_FP_BASE = 1_000_003
+_FP_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str, window: int = 64) -> int:
+    """Document fingerprint: min of polynomial rolling hashes over fixed-size
+    char windows (winnowing-style). Stable across processes."""
+    if len(text) < window:
+        h = 0
+        for ch in text:
+            h = (h * _FP_BASE + ord(ch)) % _FP_MOD
+        return h
+    h = 0
+    pw = pow(_FP_BASE, window - 1, _FP_MOD)
+    best = _FP_MOD
+    for i, ch in enumerate(text):
+        h = (h * _FP_BASE + ord(ch)) % _FP_MOD
+        if i >= window:
+            h = (h - ord(text[i - window]) * pw * _FP_BASE) % _FP_MOD
+        if i >= window - 1:
+            best = min(best, h)
+    return best
+
+
+def word_shingles(text: str, k: int = 3) -> set[str]:
+    toks = SHINGLE_RE.findall(text.lower())
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def shingle_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact n-gram Jaccard similarity between two documents."""
+    sa, sb = word_shingles(a, k), word_shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+# -- MinHash ---------------------------------------------------------------
+
+NUM_PERM = 64
+LSH_BANDS = 16
+LSH_ROWS = NUM_PERM // LSH_BANDS
+_MH_P = (1 << 61) - 1
+_rs = np.random.RandomState(42)
+_MH_A = _rs.randint(1, _MH_P, size=NUM_PERM, dtype=np.uint64)
+_MH_B = _rs.randint(0, _MH_P, size=NUM_PERM, dtype=np.uint64)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    sh = word_shingles(text, k)
+    if not sh:
+        return np.array([0], dtype=np.uint64)
+    return np.array(sorted(zlib.crc32(s.encode("utf-8")) for s in sh),
+                    dtype=np.uint64)
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """NUM_PERM-wide MinHash signature (uint64) of the doc's word shingles."""
+    x = _shingle_hashes(text, k)
+    # (a * x + b) mod p, vectorized over perms × shingles
+    vals = (_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % _MH_P
+    return vals.min(axis=1)
+
+
+def lsh_band_keys(sig: np.ndarray) -> list[str]:
+    """Band the signature -> LSH_BANDS bucket keys 'band:digest'."""
+    keys = []
+    for b in range(LSH_BANDS):
+        chunk = sig[b * LSH_ROWS:(b + 1) * LSH_ROWS]
+        digest = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+        keys.append(f"{b}:{digest}")
+    return keys
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+# -- SimHash ---------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over lowercase word tokens (count-weighted)."""
+    acc = np.zeros(64, dtype=np.int64)
+    counts: dict[str, int] = {}
+    for w in SHINGLE_RE.findall(text.lower()):
+        counts[w] = counts.get(w, 0) + 1
+    for w, c in counts.items():
+        raw = w.encode("utf-8")
+        h = zlib.crc32(raw) | (zlib.crc32(raw + b"#2") << 32)
+        bits = np.unpackbits(
+            np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)).astype(np.int64)
+        acc += (2 * bits - 1) * c
+    out = np.uint64(0)
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -1,0 +1,211 @@
+"""Tests for the training-data operators (dedup, similarity, text stats,
+windows, relational) and the alignment kernels."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from pero_ocr_ray.kernels.align import (
+    error_stats, levenshtein_alignment, levenshtein_distance, merge_error_stats,
+)
+from pero_ocr_ray.kernels import textstats as K
+from pero_ocr_ray.util import dataset_to_table
+
+
+# ---- alignment kernels ----------------------------------------------------
+
+@pytest.mark.parametrize("a,b,d", [
+    ("", "", 0), ("abc", "", 3), ("", "abc", 3), ("abc", "abc", 0),
+    ("kitten", "sitting", 3), ("flaw", "lawn", 2), ("abc", "axc", 1),
+    ("sunday", "saturday", 3),
+])
+def test_levenshtein_distance(a, b, d):
+    assert levenshtein_distance(a, b) == d
+    assert levenshtein_distance(b, a) == d
+
+
+def test_levenshtein_alignment_path():
+    path = levenshtein_alignment("abc", "axc")
+    assert path == [("a", "a"), ("b", "x"), ("c", "c")]
+    errors = sum(1 for x, y in path if x != y)
+    assert errors == levenshtein_distance("abc", "axc")
+
+
+def test_error_stats_merge():
+    parts = [error_stats("abc", "abc"), error_stats("abd", "abc")]
+    tot = merge_error_stats(parts)
+    assert tot["char_errors"] == 1 and tot["ref_chars"] == 6
+    assert tot["cer"] == pytest.approx(1 / 6)
+    assert tot["n_docs"] == 2
+
+
+# ---- textstats kernels ----------------------------------------------------
+
+def test_minhash_similar_docs_agree():
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base + "extra tail words here"
+    far = "completely different content about other things " * 20
+    s1 = K.minhash_signature(base)
+    s2 = K.minhash_signature(near)
+    s3 = K.minhash_signature(far)
+    assert K.estimate_jaccard(s1, s2) > 0.6
+    assert K.estimate_jaccard(s1, s3) < 0.2
+    # LSH: near docs share at least one band, far docs share none
+    assert set(K.lsh_band_keys(s1)) & set(K.lsh_band_keys(s2))
+    assert not (set(K.lsh_band_keys(s1)) & set(K.lsh_band_keys(s3)))
+
+
+def test_simhash_hamming():
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a + " one extra"
+    c = "entirely other words in this document " * 10
+    assert K.hamming64(K.simhash64(a), K.simhash64(b)) <= 6
+    assert K.hamming64(K.simhash64(a), K.simhash64(c)) > 10
+
+
+def test_shingle_jaccard_exact():
+    assert K.shingle_jaccard("a b c d", "a b c d") == 1.0
+    assert K.shingle_jaccard("a b c d e", "x y z w v") == 0.0
+
+
+def test_fingerprint_deterministic():
+    t = "some document text " * 50
+    assert K.rolling_fingerprint(t) == K.rolling_fingerprint(t)
+    # min-of-windows is intentionally robust to small appends; a different
+    # document must fingerprint differently
+    assert K.rolling_fingerprint(t) != K.rolling_fingerprint("other words " * 50)
+    assert K.rolling_fingerprint("short") == K.rolling_fingerprint("short")
+
+
+def test_lang_id():
+    assert K.lang_id("the cat is in the house and it is warm") == "en"
+    assert K.lang_id("der hund ist nicht in das haus und die katze") == "de"
+    assert K.lang_id("xyzzy qwerty") == "und"
+
+
+# ---- dedup ops ------------------------------------------------------------
+
+def _docs_with_dups() -> rd.Dataset:
+    import random
+    pool = [f"w{j}" for j in range(500)]
+    rows = []
+    for i in range(20):
+        rng = random.Random(1000 + i)
+        words = " ".join(rng.choice(pool) for _ in range(60))
+        rows.append({"doc_id": i, "text": f"doc {i} " + words})
+    # exact dups: 100/101 copy doc 0's text
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": rows[0]["text"]})
+    # near dup: doc 200 = doc 1 text + tiny tail
+    rows.append({"doc_id": 200, "text": rows[1]["text"] + " tiny tail"})
+    return rd.from_items(rows)
+
+
+def test_exact_dedup_groups():
+    from pero_ocr_ray.functions.dedup import exact_dedup_groups
+    out = dataset_to_table(exact_dedup_groups(_docs_with_dups())).to_pandas()
+    assert len(out) == 21  # 23 rows, 3 share one text
+    grp = out[out["n_copies"] == 3]
+    assert len(grp) == 1 and grp["doc_id"].iloc[0] == 0
+
+
+def test_exact_dedup_survivors():
+    from pero_ocr_ray.functions.dedup import exact_dedup
+    out = dataset_to_table(exact_dedup(_docs_with_dups())).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(set(range(20)) | {200})
+
+
+def test_minhash_near_dup():
+    from pero_ocr_ray.functions.dedup import (
+        minhash_dedup_drop_ids, minhash_near_dup_pairs,
+    )
+    pairs = dataset_to_table(minhash_near_dup_pairs(_docs_with_dups(), 0.7)
+                             ).to_pandas()
+    pairset = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 100) in pairset and (0, 101) in pairset and (100, 101) in pairset
+    assert (1, 200) in pairset  # near-dup found
+    drops = dataset_to_table(minhash_dedup_drop_ids(_docs_with_dups(), 0.7)
+                             ).to_pandas()
+    assert {100, 101, 200} <= set(drops["doc_id"])
+    assert 0 not in set(drops["doc_id"]) and 1 not in set(drops["doc_id"])
+
+
+def test_simhash_near_dup_pairs():
+    from pero_ocr_ray.functions.dedup import simhash_near_dup_pairs
+    out = dataset_to_table(simhash_near_dup_pairs(_docs_with_dups(), 3)
+                           ).to_pandas()
+    pairset = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 100) in pairset and (0, 101) in pairset  # exact dups: hamming 0
+
+
+# ---- similarity -----------------------------------------------------------
+
+def test_knn_matches_numpy_bruteforce():
+    from pero_ocr_ray.functions.similarity import knn_cosine
+    rng = np.random.RandomState(3)
+    m = rng.randn(200, 16)
+    ds = rd.from_items([{"vec_id": i, "embedding": m[i].tolist()}
+                        for i in range(200)])
+    queries = m[:3]
+    out = dataset_to_table(knn_cosine(ds, queries, [0, 1, 2], top_k=5)
+                           ).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in range(3):
+        sims = mn @ mn[q]
+        sims[q] = -np.inf
+        expect = np.argsort(-sims, kind="stable")[:5].tolist()
+        got = (out[out["query_id"] == q].sort_values("rank")["neighbor_id"]
+               .tolist())
+        assert got == expect, f"query {q}"
+
+
+def test_embedding_near_dup_finds_planted():
+    from pero_ocr_ray.functions.similarity import embedding_near_dup_pairs
+    rng = np.random.RandomState(4)
+    m = rng.randn(100, 16)
+    rows = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(100)]
+    rows.append({"vec_id": 500, "embedding": (m[7] * 1.001).tolist()})  # planted
+    out = dataset_to_table(embedding_near_dup_pairs(rd.from_items(rows), 0.98)
+                           ).to_pandas()
+    assert (7, 500) in set(zip(out["vec_a"], out["vec_b"]))
+
+
+# ---- windows --------------------------------------------------------------
+
+def test_tumbling_window_counts():
+    from pero_ocr_ray.functions.windows import tumbling_window_counts
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50",
+                         "2024-01-01 01:10", "2024-01-01 00:20"])
+    ds = rd.from_pandas(pd.DataFrame({
+        "ts": ts, "event_type": ["a", "a", "a", "b"],
+    }))
+    out = dataset_to_table(tumbling_window_counts(ds, "h")).to_pandas()
+    out = out.sort_values(["event_type", "window_start"], ignore_index=True)
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["event_type"].tolist() == ["a", "a", "b"]
+
+
+# ---- relational (vs duckdb inline) ----------------------------------------
+
+def test_pricing_summary_vs_duckdb():
+    import duckdb
+    from pero_ocr_ray.functions.relational import pricing_summary
+    li = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = (dataset_to_table(pricing_summary(li, "2000-01-01")).to_pandas()
+           .sort_values(["l_returnflag", "l_linestatus"], ignore_index=True))
+    con = duckdb.connect()
+    want = con.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+               CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_cents,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                   AS sum_disc_cents,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+        WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """).df()
+    pd.testing.assert_frame_equal(got, want)
