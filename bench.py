@@ -1,0 +1,162 @@
+"""Benchmark harness: headline extraction throughput + query timings.
+
+Plain run (one JSON line to stdout):
+    GRAFT_SF_DIR=/root/testdata/sf0.1 RAY_GRAFT_CPUS=32 python bench.py
+
+Scaling evidence (north_rule: N vs 4N cluster sizes, sandbox proxy = two
+fresh processes at num_cpus=8 and 32 on the same input):
+    python bench.py --scaling
+
+The headline input is a deterministic pages table (full FIXTURES.md case
+catalog — boilerplate, multicolumn, malformed, PDFs, 500 KB heavy-tail
+pages) synthesized once per scale from the documents table row count and
+cached as sharded parquet under /tmp, so every run and both scaling levels
+read identical bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_ROOT = "/tmp/pero_bench_cache"
+CACHE_VERSION = "v3"  # bump when the generator or case catalog changes
+
+
+def ensure_bench_pages(sf_dir: str, shards: int = 32) -> tuple[str, int, int]:
+    """Synthesize (once) the bench pages table -> (dir, n_rows, html_bytes)."""
+    import pyarrow.parquet as pq
+    # 4x the documents row count: long enough that fixed per-run cost
+    # (driver planning, pool ramp) amortizes as it would in a real job
+    n_docs = 4 * pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    out_dir = os.path.join(CACHE_ROOT, f"{CACHE_VERSION}_n{n_docs}")
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        return out_dir, meta["rows"], meta["html_bytes"]
+    import pyarrow.compute as pc
+    from pero_ocr_ray.sources.pages import synthesize_pages
+    tmp = out_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pages = synthesize_pages(n_docs, seed=42)
+    html_bytes = int(pc.sum(pc.binary_length(pages.column("html"))).as_py())
+    per = (pages.num_rows + shards - 1) // shards
+    for k in range(shards):
+        part = pages.slice(k * per, per)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(tmp, f"pages_{k:04d}.parquet"))
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        json.dump({"rows": pages.num_rows, "html_bytes": html_bytes}, fh)
+    os.rename(tmp, out_dir)
+    return out_dir, pages.num_rows, html_bytes
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import logging
+
+    import ray.data as rd
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from pero_ocr_ray.pipelines.extract import extract_pipeline
+
+    pages_dir, n_rows, html_bytes = ensure_bench_pages(SF_DIR)
+    paths = sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
+                   if f.endswith(".parquet"))
+
+    # warm the page cache so both scaling levels measure compute, not cold IO
+    for p in paths:
+        with open(p, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    out_dir = f"/tmp/pero_bench_out_{NUM_CPUS}"
+    import shutil
+
+    def run_once(tag: str) -> float:
+        shutil.rmtree(f"{out_dir}_{tag}", ignore_errors=True)
+        t0 = time.time()
+        ds = rd.read_parquet(paths)
+        result = extract_pipeline(ds)
+        result.write_parquet(f"{out_dir}_{tag}")
+        return time.time() - t0
+
+    # steady-state protocol: one untimed warmup run spins up the worker
+    # processes / actor pool (the persistent-cluster analog: a 100 TB job
+    # runs for hours, process spawn is noise), then the timed run.
+    warmup_sec = run_once("warm")
+    headline_sec = run_once("timed")
+
+    # representative query timings over the sf tables
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    query_times: dict[str, float] = {}
+    for name in ("q1_pricing", "events_hourly", "dedup_exact_groups",
+                 "knn_cosine", "doc_quality"):
+        t1 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        query_times[name] = round(time.time() - t1, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "end-to-end extraction pipeline wall time (read->extract->write)",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": query_times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": n_rows,
+        "pages_per_sec": round(n_rows / headline_sec, 2),
+        "html_mb_per_sec": round(html_bytes / 1e6 / headline_sec, 2),
+        "warmup_sec": round(warmup_sec, 3),
+    }
+
+
+def run_scaling(cl: int = 8, ch: int = 32) -> dict:
+    """Same job, fresh processes, two parallelism levels -> efficiency."""
+    ensure_bench_pages(SF_DIR)  # build cache before timing anything
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=REPO).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = one(cl)
+    hi = one(ch)
+    eff = (lo["value"] / hi["value"]) / (ch / cl)
+    return {
+        "metric": "scaling efficiency (N vs 4N cpus, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "cpus_low": cl, "cpus_high": ch,
+        "sec_low": lo["value"], "sec_high": hi["value"],
+        "pages_per_sec_low": lo["pages_per_sec"],
+        "pages_per_sec_high": hi["pages_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,119 @@
+"""Command-line entry point (parse-folder analog, ray-job-submit target).
+
+Mirrors the reference's primary CLI
+(/root/reference/user_scripts/parse_folder.py): point it at input parquet,
+get a resumable extraction job with per-partition manifests.
+
+    python -m pero_ocr_ray.cli extract --input DIR --output DIR \
+        [--num-cpus N] [--mode fused|staged] [--dedup] [--batch-size B]
+    python -m pero_ocr_ray.cli merge  --inputs A B C --output DIR
+    python -m pero_ocr_ray.cli compare --hyp DIR --ref DIR
+
+On a real cluster the same file is the job entrypoint:
+    ray job submit --working-dir . -- python -m pero_ocr_ray.cli extract ...
+(then ``ray.init(address="auto")`` picks up the cluster; here we run local.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_up(num_cpus: int | None):
+    import ray
+    if ray.is_initialized():
+        return
+    kwargs = {"address": "local", "include_dashboard": False,
+              "logging_level": "ERROR"}
+    if num_cpus:
+        kwargs["num_cpus"] = num_cpus
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_extract(args) -> int:
+    _ray_up(args.num_cpus)
+    from pero_ocr_ray.kernels.config import ExtractConfig
+    from pero_ocr_ray.pipelines.extract import run_job
+    cfg = ExtractConfig(parse_batch_size=args.batch_size,
+                        dedup_urls=args.dedup)
+    stats = run_job(args.input, args.output, cfg, mode=args.mode,
+                    concurrency=args.concurrency)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+    from pero_ocr_ray.pipelines.extract import read_job_output
+    from pero_ocr_ray.pipelines.merge import merge_results
+    runs = [read_job_output(p) if os.path.isdir(os.path.join(p, "_manifest"))
+            else rd.read_parquet(p) for p in args.inputs]
+    merged = merge_results([r.select_columns(["url", "extracted_text"])
+                            for r in runs])
+    merged.write_parquet(args.output)
+    print(json.dumps({"rows": merged.count()}))
+    return 0
+
+
+def cmd_compare(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+    from pero_ocr_ray.functions.quality import compare_extractions
+    from pero_ocr_ray.pipelines.extract import read_job_output
+
+    def load(p):
+        if os.path.isdir(os.path.join(p, "_manifest")):
+            return read_job_output(p)
+        return rd.read_parquet(p)
+
+    stats = compare_extractions(load(args.hyp), load(args.ref))
+    print(json.dumps(stats))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pero_ocr_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="resumable extraction job")
+    ex.add_argument("--input", required=True, help="parquet file or dir")
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--mode", default="fused", choices=["fused", "staged"])
+    ex.add_argument("--batch-size", type=int, default=64)
+    ex.add_argument("--concurrency", type=int, default=None)
+    ex.add_argument("--num-cpus", type=int, default=None)
+    ex.add_argument("--dedup", action="store_true",
+                    help="dedup urls (keep latest warc_ts) before extraction")
+    ex.set_defaults(fn=cmd_extract)
+
+    mg = sub.add_parser("merge", help="N-way merge of extraction runs")
+    mg.add_argument("--inputs", nargs="+", required=True)
+    mg.add_argument("--output", required=True)
+    mg.add_argument("--num-cpus", type=int, default=None)
+    mg.set_defaults(fn=cmd_merge)
+
+    cp = sub.add_parser("compare", help="corpus CER/WER between two runs")
+    cp.add_argument("--hyp", required=True)
+    cp.add_argument("--ref", required=True)
+    cp.add_argument("--num-cpus", type=int, default=None)
+    cp.set_defaults(fn=cmd_compare)
+
+    args = ap.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,7 +14,24 @@ import numpy as np
 
 
 def levenshtein_distance(a, b) -> int:
-    """Edit distance between two sequences (str or list)."""
+    """Edit distance between two sequences (str or list).
+
+    Fast paths: exact equality, and common prefix/suffix stripping — the
+    DP is quadratic, and corpus comparison mostly sees near-identical
+    documents (often megabytes), so the trim is what makes G3-style corpus
+    CER tractable."""
+    if a == b:
+        return 0
+    # strip common prefix / suffix
+    i = 0
+    n, m = len(a), len(b)
+    while i < n and i < m and a[i] == b[i]:
+        i += 1
+    j = 0
+    while j < n - i and j < m - i and a[n - 1 - j] == b[m - 1 - j]:
+        j += 1
+    a = a[i:n - j]
+    b = b[i:m - j]
     if len(a) < len(b):
         a, b = b, a
     if not b:
@@ -57,6 +74,25 @@ def levenshtein_alignment(a: str, b: str) -> list[tuple[str | None, str | None]]
             path.append((None, b[j - 1]))
             j -= 1
     return path[::-1]
+
+
+def align_positions(hyp: str, ref: str) -> list[int]:
+    """For each char of ``hyp``, the position of its aligned char in ``ref``
+    (-1 for insertions) — the char-span alignment analog of the reference's
+    ``align_text`` (/root/reference/pero_ocr/core/force_alignment.py:150-165),
+    used to map extracted text back onto source offsets."""
+    path = levenshtein_alignment(hyp, ref)
+    out: list[int] = []
+    ref_pos = 0
+    for h_ch, r_ch in path:
+        if h_ch is not None and r_ch is not None:
+            out.append(ref_pos)
+            ref_pos += 1
+        elif h_ch is not None:  # insertion in hyp
+            out.append(-1)
+        else:  # deletion: consume ref only
+            ref_pos += 1
+    return out
 
 
 def error_stats(hyp: str, ref: str) -> dict:

@@ -40,6 +40,8 @@ class ExtractConfig:
 
     # --- pipeline shape (Ray-side knobs; ignored by the oracle) ---
     parse_batch_size: int = 64       # rows per batch through the parser actors
+    # (measured: 64 balances per-task overhead vs heavy-tail skew; 16 tripled
+    # wall time from task overhead, 128 hurt balancing)
     parse_concurrency: int = 0       # 0 = auto (derived from cluster CPUs)
     vector_batch_size: int = 1024    # rows per batch through vectorized stages
     dedup_urls: bool = False         # groupby(url) keep latest warc_ts first

@@ -140,7 +140,7 @@ class _BlockBuilder(HTMLParser):
         cur, self.cur = self.cur, None
         if cur is None:
             return
-        if not any(not ch.isspace() for text, _ in cur["pieces"] for ch in text):
+        if not any(text and not text.isspace() for text, _ in cur["pieces"]):
             return
         dom_idx = len(self.blocks)
         starts = [s for _, s in cur["pieces"] if s >= 0]

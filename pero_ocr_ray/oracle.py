@@ -43,15 +43,42 @@ OUTPUT_SCHEMA = pa.schema([
 
 
 def rows_to_output_table(rows: list[dict]) -> pa.Table:
-    """Build the canonical output Arrow table from extract_document rows."""
-    cols = {name: [] for name in OUTPUT_SCHEMA.names}
+    """Build the canonical output Arrow table from extract_document rows.
+
+    Nested columns (spans, metrics) are assembled from flat arrays +
+    offsets rather than python dict lists — the dict path cost ~26% of
+    stage time on mixed pages."""
+    simple = {n: pa.array([r.get(n) for r in rows], OUTPUT_SCHEMA.field(n).type)
+              for n in ("url", "row_id", "warc_ts", "lang", "extracted_text",
+                        "payload_kind", "encoding", "error")}
+    # spans: list<struct> from flat columns + offsets
+    offsets = [0]
+    block_ids: list[str] = []
+    line_ids: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
     for r in rows:
-        for name in OUTPUT_SCHEMA.names:
-            cols[name].append(r.get(name))
-    return pa.table(
-        {n: pa.array(cols[n], OUTPUT_SCHEMA.field(n).type) for n in OUTPUT_SCHEMA.names},
-        schema=OUTPUT_SCHEMA,
-    )
+        for s in r["spans"]:
+            block_ids.append(s["block_id"])
+            line_ids.append(s["line_id"])
+            starts.append(s["char_start"])
+            ends.append(s["char_end"])
+        offsets.append(len(block_ids))
+    span_struct = pa.StructArray.from_arrays(
+        [pa.array(block_ids, pa.string()), pa.array(line_ids, pa.string()),
+         pa.array(starts, pa.int64()), pa.array(ends, pa.int64())],
+        names=["block_id", "line_id", "char_start", "char_end"])
+    spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), span_struct)
+    metrics = pa.StructArray.from_arrays(
+        [pa.array([r["metrics"]["blocks_total"] for r in rows], pa.int32()),
+         pa.array([r["metrics"]["blocks_kept"] for r in rows], pa.int32()),
+         pa.array([r["metrics"]["blocks_dropped"] for r in rows], pa.int32()),
+         pa.array([r["metrics"]["chars_emitted"] for r in rows], pa.int64())],
+        names=["blocks_total", "blocks_kept", "blocks_dropped", "chars_emitted"])
+    cols = dict(simple)
+    cols["spans"] = spans
+    cols["metrics"] = metrics
+    return pa.table({n: cols[n] for n in OUTPUT_SCHEMA.names}, schema=OUTPUT_SCHEMA)
 
 
 def extract_table(pages: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG) -> pa.Table:

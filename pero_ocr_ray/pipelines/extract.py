@@ -32,8 +32,11 @@ from pero_ocr_ray.state.manifest import Manifest
 
 
 def _auto_concurrency() -> int:
+    """Parse-actor pool size: half the CPUs (measured sweet spot — leaves
+    headroom for read/write tasks and Arrow work; a pool of cpus-1 starves
+    the surrounding stages and pays more actor startup)."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, cpus - 1)
+    return max(1, cpus // 2)
 
 
 def read_pages(source, columns: list[str] | None = None) -> rd.Dataset:

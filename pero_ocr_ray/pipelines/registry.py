@@ -1,0 +1,98 @@
+"""Config-assembled pipelines: the user-extension surface.
+
+Mirror of the reference's INI-driven stage assembly — ``PAGE_PARSER``
+sections dispatched by METHOD strings through ``layout_parser_factory``
+(/root/reference/pero_ocr/document_ocr/page_parser.py:29-51,457-483): a
+registry maps stage names to builders; a pipeline spec (list of
+``{"stage": name, **params}``) compiles onto a Dataset as a chain of
+``map_batches`` calls. Users extend the engine by registering a builder.
+
+A builder has signature ``(ds, cfg, **params) -> ds``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pero_ocr_ray.kernels.config import ExtractConfig, DEFAULT_CONFIG
+from pero_ocr_ray.stages.extract import (
+    ClassifyStage, ParseExtractStage, decode_stage, emit_stage, order_stage,
+    parse_stage, segment_stage,
+)
+
+STAGE_REGISTRY: dict = {}
+
+
+def register_stage(name: str):
+    def deco(builder):
+        STAGE_REGISTRY[name] = builder
+        return builder
+    return deco
+
+
+def _vector_stage(fn):
+    def builder(ds, cfg: ExtractConfig, batch_size: int | None = None, **_):
+        return ds.map_batches(functools.partial(fn, cfg=cfg),
+                              batch_format="pyarrow",
+                              batch_size=batch_size or cfg.vector_batch_size)
+    return builder
+
+
+STAGE_REGISTRY.update({
+    "decode": _vector_stage(decode_stage),
+    "parse": lambda ds, cfg, **p: ds.map_batches(
+        functools.partial(parse_stage, cfg=cfg), batch_format="pyarrow",
+        batch_size=p.get("batch_size", cfg.parse_batch_size)),
+    "segment": _vector_stage(segment_stage),
+    "order": _vector_stage(order_stage),
+    "emit": _vector_stage(emit_stage),
+})
+
+
+@register_stage("classify")
+def _classify(ds, cfg: ExtractConfig, concurrency: int = 2, **_):
+    return ds.map_batches(ClassifyStage,
+                          fn_constructor_kwargs={"cfg": cfg.to_dict()},
+                          batch_format="pyarrow",
+                          batch_size=cfg.vector_batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
+@register_stage("extract_fused")
+def _fused(ds, cfg: ExtractConfig, concurrency: int = 2, **_):
+    return ds.map_batches(ParseExtractStage,
+                          fn_constructor_kwargs={"cfg": cfg.to_dict()},
+                          batch_format="pyarrow",
+                          batch_size=cfg.parse_batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
+@register_stage("checkpoint")
+def _checkpoint(ds, cfg: ExtractConfig, path: str = "", **_):
+    """Write the current intermediate table to parquet and continue from the
+    materialized checkpoint (PAGE-XML round-trip analog, SURVEY §2.1 S2)."""
+    import os
+    import ray.data as rd
+    ds.write_parquet(path)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    return rd.read_parquet(files)
+
+
+DEFAULT_SPEC = [
+    {"stage": "decode"}, {"stage": "parse"}, {"stage": "segment"},
+    {"stage": "classify"}, {"stage": "order"}, {"stage": "emit"},
+]
+
+
+def build_from_spec(ds, spec: list[dict] | None = None,
+                    cfg: ExtractConfig = DEFAULT_CONFIG):
+    """Compile a pipeline spec onto a Dataset."""
+    for step in (spec or DEFAULT_SPEC):
+        params = {k: v for k, v in step.items() if k != "stage"}
+        name = step["stage"]
+        if name not in STAGE_REGISTRY:
+            raise KeyError(f"unknown stage {name!r}; registered: "
+                           f"{sorted(STAGE_REGISTRY)}")
+        ds = STAGE_REGISTRY[name](ds, cfg, **params)
+    return ds

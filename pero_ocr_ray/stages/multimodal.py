@@ -1,0 +1,142 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Ray-side plumbing (schemas, actor-pool stages, batch sizing, output
+layout) is real and tested; the codec itself is STUBBED because no
+image/audio library ships in this environment: payloads in the deterministic
+toy container formats below are "decoded" with numpy; anything else raises
+``NotImplementedError`` inside a per-row try so the row is error-flagged,
+not the batch killed (skip-and-continue,
+/root/reference/user_scripts/parse_folder.py:213-216).
+
+Toy container formats (for tests/fixtures):
+  image: b"FAKEIMG" + uint16 width + uint16 height + uint8 channels + pixels
+  audio: b"FAKEAUD" + uint32 sample_rate + int16 samples
+
+Stage shapes mirror the reference's heavy per-record engines: the decoder /
+feature extractor is a callable class (actor pool) whose ``__init__`` loads
+the "model" (a seeded projection matrix) once per actor — the line-OCR
+engine shape (/root/reference/pero_ocr/ocr_engine/line_ocr_engine.py:17-56).
+Real codecs slot in by replacing ``_decode_image`` / ``_decode_audio``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+IMG_MAGIC = b"FAKEIMG"
+AUD_MAGIC = b"FAKEAUD"
+
+
+def make_fake_image(width: int, height: int, channels: int = 3,
+                    seed: int = 0) -> bytes:
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, size=width * height * channels, dtype=np.uint8)
+    head = (IMG_MAGIC + np.uint16(width).tobytes() + np.uint16(height).tobytes()
+            + np.uint8(channels).tobytes())
+    return head + pixels.tobytes()
+
+
+def make_fake_audio(sample_rate: int, samples: np.ndarray) -> bytes:
+    return (AUD_MAGIC + np.uint32(sample_rate).tobytes()
+            + samples.astype(np.int16).tobytes())
+
+
+def _decode_image(raw: bytes) -> np.ndarray:
+    if raw[:7] != IMG_MAGIC:
+        raise NotImplementedError(
+            "real image codecs unavailable in this environment; only the "
+            "FAKEIMG container is decodable")
+    w = int(np.frombuffer(raw, np.uint16, 1, 7)[0])
+    h = int(np.frombuffer(raw, np.uint16, 1, 9)[0])
+    c = int(np.frombuffer(raw, np.uint8, 1, 11)[0])
+    return np.frombuffer(raw, np.uint8, w * h * c, 12).reshape(h, w, c)
+
+
+def _decode_audio(raw: bytes) -> tuple[int, np.ndarray]:
+    if raw[:7] != AUD_MAGIC:
+        raise NotImplementedError(
+            "real audio codecs unavailable; only the FAKEAUD container")
+    sr = int(np.frombuffer(raw, np.uint32, 1, 7)[0])
+    return sr, np.frombuffer(raw, np.int16, -1, 11)
+
+
+class ImageFeatureStage:
+    """Actor pool: decode image binary -> dims + 16-bin histogram feature +
+    a seeded linear embedding (model loaded once per actor)."""
+
+    EMBED_DIM = 8
+
+    def __init__(self, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.proj = rng.randn(16, self.EMBED_DIM)  # the warm "model"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widths, heights, channels, hists, embeds, errors = \
+            [], [], [], [], [], [], []
+        for item_id, raw in zip(batch.column("item_id").to_pylist(),
+                                batch.column("image").to_pylist()):
+            ids.append(item_id)
+            try:
+                img = _decode_image(raw)
+                hist = np.bincount(img.reshape(-1) >> 4, minlength=16
+                                   ).astype(np.float64)
+                hist /= max(1.0, hist.sum())
+                widths.append(img.shape[1])
+                heights.append(img.shape[0])
+                channels.append(img.shape[2])
+                hists.append(hist.tolist())
+                embeds.append((hist @ self.proj).tolist())
+                errors.append("")
+            except NotImplementedError as e:
+                widths.append(0); heights.append(0); channels.append(0)
+                hists.append([0.0] * 16)
+                embeds.append([0.0] * self.EMBED_DIM)
+                errors.append(f"decode_unavailable: {e}")
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "channels": pa.array(channels, pa.int32()),
+            "histogram": pa.array(hists, pa.list_(pa.float64(), 16)),
+            "embedding": pa.array(embeds, pa.list_(pa.float64(), self.EMBED_DIM)),
+            "error": pa.array(errors, pa.string()),
+        })
+
+
+class AudioFeatureStage:
+    """Actor pool: decode audio binary -> duration / rms / zero-crossings."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, durs, rmss, zcrs, errors = [], [], [], [], []
+        for item_id, raw in zip(batch.column("item_id").to_pylist(),
+                                batch.column("audio").to_pylist()):
+            ids.append(item_id)
+            try:
+                sr, x = _decode_audio(raw)
+                xf = x.astype(np.float64) / 32768.0
+                durs.append(len(x) / sr if sr else 0.0)
+                rmss.append(float(np.sqrt(np.mean(xf ** 2))) if len(x) else 0.0)
+                zcrs.append(int(np.sum(np.abs(np.diff(np.signbit(xf))))))
+                errors.append("")
+            except NotImplementedError as e:
+                durs.append(0.0); rmss.append(0.0); zcrs.append(0)
+                errors.append(f"decode_unavailable: {e}")
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "duration_sec": pa.array(durs, pa.float64()),
+            "rms": pa.array(rmss, pa.float64()),
+            "zero_crossings": pa.array(zcrs, pa.int64()),
+            "error": pa.array(errors, pa.string()),
+        })
+
+
+def image_features(ds, concurrency: int = 2, batch_size: int = 32):
+    """Small batches: binary payloads dominate block size (SURVEY §7.5)."""
+    return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def audio_features(ds, concurrency: int = 2, batch_size: int = 32):
+    return ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)

@@ -1,0 +1,190 @@
+"""Tests: RTL helpers, confusion networks, span alignment, quality metrics,
+multimodal stub stages, registry-assembled pipelines, checkpoint resume."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from pero_ocr_ray.kernels.align import align_positions
+from pero_ocr_ray.kernels.confnet import (
+    best_path, build_confusion_network, logaddexp, top_k,
+)
+from pero_ocr_ray.kernels.rtl import is_arabic, logical_to_visual
+from pero_ocr_ray.util import dataset_to_table
+
+
+# ---- rtl ------------------------------------------------------------------
+
+def test_is_arabic():
+    assert is_arabic("السلام عليكم")
+    assert not is_arabic("hello world")
+    assert not is_arabic("")
+    assert is_arabic("السلام عليكم hello")  # majority arabic
+
+
+def test_logical_visual_involution():
+    s = "abc السلام عليكم xyz"
+    v = logical_to_visual(s)
+    assert v != s
+    assert logical_to_visual(v) == s
+
+
+# ---- confnet --------------------------------------------------------------
+
+def test_top_k():
+    s = np.array([0.1, 0.9, 0.5, 0.9, 0.2])
+    assert top_k(s, 3).tolist() == [1, 3, 2]  # ties -> lower index first
+
+
+def test_confusion_network_majority():
+    cn = build_confusion_network([
+        (["the", "cat", "sat"], 1.0),
+        (["the", "bat", "sat"], 1.0),
+        (["the", "cat", "sat"], 1.0),
+    ])
+    assert best_path(cn) == ["the", "cat", "sat"]
+    slot = cn[1]
+    assert slot["cat"] == pytest.approx(2 / 3)
+    assert slot["bat"] == pytest.approx(1 / 3)
+
+
+def test_confusion_network_insertion():
+    cn = build_confusion_network([
+        (["a", "b"], 1.0),
+        (["a", "x", "b"], 1.0),
+    ])
+    assert best_path(cn) in (["a", "b"], ["a", "x", "b"])
+    assert len(cn) == 3  # insertion slot added
+
+
+def test_logaddexp():
+    import math
+    assert logaddexp(math.log(0.25), math.log(0.75)) == pytest.approx(0.0)
+    assert logaddexp(-math.inf, -1.0) == -1.0
+
+
+# ---- align_positions ------------------------------------------------------
+
+def test_align_positions_identity():
+    assert align_positions("abc", "abc") == [0, 1, 2]
+
+
+def test_align_positions_with_edits():
+    # hyp 'axc' vs ref 'abc': substitution at 1
+    assert align_positions("axc", "abc") == [0, 1, 2]
+    # deletion in hyp: 'ac' vs 'abc'
+    assert align_positions("ac", "abc") == [0, 2]
+    pos = align_positions("aXbc", "abc")  # insertion in hyp
+    assert pos[0] == 0 and pos[-1] == 2 and -1 in pos
+
+
+# ---- quality --------------------------------------------------------------
+
+def test_page_quality_and_compare():
+    from pero_ocr_ray.functions.quality import compare_extractions, page_quality
+    from pero_ocr_ray.oracle import extract_table
+    from pero_ocr_ray.sources.pages import synthesize_pages
+    pages = synthesize_pages(36)
+    # drop duplicate-url rows: self-comparison is only exact on unique keys
+    import pyarrow as pa
+    urls = pages.column("url").to_pylist()
+    keep = [i for i, u in enumerate(urls) if u not in urls[:i]]
+    pages = pages.take(pa.array(keep))
+    out = rd.from_arrow(extract_table(pages))
+    q = dataset_to_table(page_quality(out)).to_pandas()
+    assert len(q) == len(keep)
+    assert (q["quality"] <= 1.0).all() and (q["quality"] >= 0).all()
+    # identical runs -> zero error
+    stats = compare_extractions(out, out)
+    assert stats["cer"] == 0.0 and stats["wer"] == 0.0
+    assert stats["n_docs"] == len(keep)
+
+
+# ---- multimodal -----------------------------------------------------------
+
+def test_image_feature_stage():
+    from pero_ocr_ray.stages.multimodal import image_features, make_fake_image
+    rows = [{"item_id": i, "image": make_fake_image(8, 6, 3, seed=i)}
+            for i in range(10)]
+    rows.append({"item_id": 99, "image": b"\x89PNG not supported"})
+    out = dataset_to_table(image_features(rd.from_items(rows))).to_pandas()
+    out = out.sort_values("item_id", ignore_index=True)
+    ok = out[out["item_id"] < 99]
+    assert (ok["width"] == 8).all() and (ok["height"] == 6).all()
+    assert all(abs(sum(h) - 1.0) < 1e-9 for h in ok["histogram"])
+    png = out[out["item_id"] == 99].iloc[0]
+    assert "decode_unavailable" in png["error"] and png["width"] == 0
+
+
+def test_audio_feature_stage():
+    from pero_ocr_ray.stages.multimodal import audio_features, make_fake_audio
+    t = np.arange(16000)
+    wave = (np.sin(2 * np.pi * 440 * t / 16000) * 16000).astype(np.int16)
+    rows = [{"item_id": 0, "audio": make_fake_audio(16000, wave)},
+            {"item_id": 1, "audio": b"RIFF real wav unsupported"}]
+    out = dataset_to_table(audio_features(rd.from_items(rows))).to_pandas()
+    out = out.sort_values("item_id", ignore_index=True)
+    assert out.loc[0, "duration_sec"] == pytest.approx(1.0)
+    assert out.loc[0, "rms"] == pytest.approx(0.345, abs=0.05)
+    assert "decode_unavailable" in out.loc[1, "error"]
+
+
+def test_image_feature_determinism():
+    from pero_ocr_ray.stages.multimodal import ImageFeatureStage, make_fake_image
+    import pyarrow as pa
+    batch = pa.table({"item_id": pa.array([0], pa.int64()),
+                      "image": pa.array([make_fake_image(4, 4)], pa.binary())})
+    a = ImageFeatureStage()(batch)
+    b = ImageFeatureStage()(batch)
+    assert a.equals(b)
+
+
+# ---- registry + checkpoint ------------------------------------------------
+
+def test_registry_spec_matches_fused(tmp_path):
+    from pero_ocr_ray.oracle import extract_table
+    from pero_ocr_ray.pipelines.registry import build_from_spec
+    from pero_ocr_ray.sources.pages import synthesize_pages
+    pages = synthesize_pages(36)
+    golden = extract_table(pages).sort_by("row_id")
+    spec = [{"stage": "decode"}, {"stage": "parse"}, {"stage": "segment"},
+            {"stage": "classify", "concurrency": 1},
+            {"stage": "checkpoint", "path": str(tmp_path / "ckpt")},
+            {"stage": "order"}, {"stage": "emit"}]
+    out = dataset_to_table(build_from_spec(rd.from_arrow(pages), spec)
+                           ).sort_by("row_id")
+    assert out.column("extracted_text").to_pylist() == \
+        golden.column("extracted_text").to_pylist()
+    assert out.column("metrics").to_pylist() == golden.column("metrics").to_pylist()
+    # the checkpoint actually landed on disk with the nested blocks column
+    import pyarrow.parquet as pq
+    import os
+    files = [f for f in os.listdir(tmp_path / "ckpt") if f.endswith(".parquet")]
+    assert files
+    schema = pq.read_schema(str(tmp_path / "ckpt" / files[0]))
+    assert "blocks" in schema.names
+
+
+def test_registry_custom_stage():
+    from pero_ocr_ray.pipelines.registry import build_from_spec, register_stage
+
+    @register_stage("add_marker")
+    def add_marker(ds, cfg, **_):
+        import pandas as pd
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["marker"] = "custom"
+            return df
+        return ds.map_batches(fn, batch_format="pandas")
+
+    ds = rd.from_items([{"x": 1}, {"x": 2}])
+    out = dataset_to_table(build_from_spec(ds, [{"stage": "add_marker"}]))
+    assert out.column("marker").to_pylist() == ["custom", "custom"]
+
+
+def test_registry_unknown_stage_raises():
+    from pero_ocr_ray.pipelines.registry import build_from_spec
+    with pytest.raises(KeyError, match="unknown stage"):
+        build_from_spec(rd.from_items([{"x": 1}]), [{"stage": "nope"}])
