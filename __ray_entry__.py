@@ -213,6 +213,33 @@ def _q_lang_counts(sf_dir: str):
     return lang_counts(_docs(sf_dir))
 
 
+def _q_sessionize(sf_dir: str):
+    from pero_ocr_ray.functions.windows import sessionize
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(ev, 30)
+
+
+def _q_distinct_brands(sf_dir: str):
+    from pero_ocr_ray.functions.relational import distinct_brands
+    return distinct_brands(rd.read_parquet(os.path.join(sf_dir, "part.parquet")))
+
+
+def _q_top_parts(sf_dir: str):
+    from pero_ocr_ray.functions.relational import top_parts_by_price
+    return top_parts_by_price(rd.read_parquet(os.path.join(sf_dir, "part.parquet")), 5)
+
+
+def _q_segment_counts(sf_dir: str):
+    from pero_ocr_ray.functions.relational import customer_segment_counts
+    return customer_segment_counts(
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet")))
+
+
+def _q_page_quality(sf_dir: str):
+    from pero_ocr_ray.functions.quality import page_quality
+    return page_quality(_extract(sf_dir, "cases"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_simple": _q_extract_simple,
@@ -236,6 +263,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": _q_q3,
         "suppliers_per_nation": _q_suppliers_per_nation,
         "doc_lang_counts": _q_lang_counts,
+        "events_sessionize": _q_sessionize,
+        "distinct_brands": _q_distinct_brands,
+        "top_parts_by_price": _q_top_parts,
+        "customer_segment_counts": _q_segment_counts,
+        "page_quality": _q_page_quality,
     }
 
 
@@ -319,4 +351,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_counts": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY lang""",
+        "events_sessionize": """
+            WITH d AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 IS NULL
+                              OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events)
+            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+            FROM d GROUP BY user_id""",
+        "distinct_brands": "SELECT DISTINCT p_brand FROM part",
+        "top_parts_by_price": """
+            SELECT p_partkey,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+            FROM part
+            ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 5""",
+        "customer_segment_counts": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer GROUP BY c_mktsegment""",
     }

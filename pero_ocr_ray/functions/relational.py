@@ -137,6 +137,38 @@ def suppliers_per_nation(supplier: rd.Dataset, nation: rd.Dataset) -> rd.Dataset
         batch_format="pandas")
 
 
+def distinct_brands(part: rd.Dataset) -> rd.Dataset:
+    """Distinct p_brand values (ds.unique — a shuffle)."""
+    import pyarrow as pa
+    vals = sorted(part.unique("p_brand"))
+    return rd.from_arrow(pa.table({"p_brand": pa.array(vals, pa.string())}))
+
+
+def top_parts_by_price(part: rd.Dataset, k: int = 5) -> rd.Dataset:
+    """Top-k parts by retail price (distributed sort + limit)."""
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": df["p_partkey"].astype("int64"),
+            "price_cents": (df["p_retailprice"] * 100).round().astype("int64"),
+        })
+    top = (part.select_columns(["p_partkey", "p_retailprice"])
+               .sort(["p_retailprice", "p_partkey"], descending=[True, False])
+               .limit(k))
+    return top.map_batches(finalize, batch_format="pandas", batch_size=None)
+
+
+def customer_segment_counts(customer: rd.Dataset) -> rd.Dataset:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("c_mktsegment", as_index=False).size()
+                  .rename(columns={"size": "n_partial"}))
+    agg = (customer.map_batches(partial, batch_format="pandas")
+           .groupby("c_mktsegment").aggregate(Sum("n_partial",
+                                                  alias_name="n_customers")))
+    return agg.map_batches(
+        lambda df: df.assign(n_customers=df["n_customers"].astype("int64")),
+        batch_format="pandas")
+
+
 def lang_counts(documents: rd.Dataset) -> rd.Dataset:
     """Documents per lang (partial count then tiny groupby)."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -38,3 +38,23 @@ def tumbling_window_counts(ds: rd.Dataset, freq: str = "h") -> rd.Dataset:
         })
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def sessionize(ds: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
+    """-> (user_id, n_sessions): session counts with a `gap_minutes`
+    inactivity threshold.
+
+    The streaming-shaped operator (SURVEY §2.9): events are treated as an
+    ordered, partitioned log — hash-shuffle on user_id, sort by ts inside
+    each group, count gap crossings. Ordering assumption: per-user history
+    fits one group (holds at any scale where a single user's events fit in
+    memory; for hotter keys, sessionize per (user, day) and merge)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        n = int((ts.diff() > gap).sum()) + 1
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

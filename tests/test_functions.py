@@ -209,3 +209,17 @@ def test_pricing_summary_vs_duckdb():
         ORDER BY l_returnflag, l_linestatus
     """).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_sessionize():
+    from pero_ocr_ray.functions.windows import sessionize
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10",
+                         "2024-01-01 01:00", "2024-01-02 09:00",
+                         "2024-01-01 00:05"])
+    ds = rd.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2], "ts": ts,
+    }))
+    out = dataset_to_table(sessionize(ds, 30)).to_pandas()
+    out = out.sort_values("user_id", ignore_index=True)
+    # user 1: 00:00+00:10 | 01:00 | next day  -> 3 sessions; user 2 -> 1
+    assert out["n_sessions"].tolist() == [3, 1]
