@@ -29,17 +29,27 @@ import pyarrow.parquet as pq  # noqa: E402
 import ray.data as rd  # noqa: E402
 
 
+_PAGES_CACHE: dict[tuple[str, str], Any] = {}
+
+
 def _pages(sf_dir: str, template: str):
     from pero_ocr_ray.sources.pages import pages_from_documents
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    pages = pages_from_documents(docs, template)
+    key = (sf_dir, template)
+    pages = _PAGES_CACHE.get(key)
+    if pages is None:
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        pages = pages_from_documents(docs, template)
+        _PAGES_CACHE[key] = pages
     # from_arrow yields one block; split so the parse actor pool has work
     return rd.from_arrow(pages).repartition(max(2, pages.num_rows // 64))
 
 
 def _extract(sf_dir: str, template: str, mode: str = "fused"):
     from pero_ocr_ray.pipelines.extract import extract_pipeline
-    return extract_pipeline(_pages(sf_dir, template), mode=mode, concurrency=4)
+    # concurrency 2: correctness-gate inputs are small, and queries like
+    # merge_best compose TWO pipelines — larger pools can reserve every CPU
+    # and starve the downstream groupby tasks (observed deadlock at 8 cpus)
+    return extract_pipeline(_pages(sf_dir, template), mode=mode, concurrency=2)
 
 
 def entry() -> Any:
@@ -235,6 +245,11 @@ def _q_segment_counts(sf_dir: str):
         rd.read_parquet(os.path.join(sf_dir, "customer.parquet")))
 
 
+def _q_extract_lines(sf_dir: str):
+    from pero_ocr_ray.stages.extract import explode_lines
+    return explode_lines(_extract(sf_dir, "simple"))
+
+
 def _q_page_quality(sf_dir: str):
     from pero_ocr_ray.functions.quality import page_quality
     return page_quality(_extract(sf_dir, "cases"))
@@ -268,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": _q_top_parts,
         "customer_segment_counts": _q_segment_counts,
         "page_quality": _q_page_quality,
+        "extract_lines": _q_extract_lines,
     }
 
 
@@ -372,4 +388,13 @@ def oracle_sql() -> dict[str, str]:
         "customer_segment_counts": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
             FROM customer GROUP BY c_mktsegment""",
+        "extract_lines": rf"""
+            SELECT {_URL_SQL} AS url,
+                   'b0000' AS block_id, 'b0000l000' AS line_id,
+                   CAST(length(text) - length(regexp_replace(text, '^\s+', ''))
+                        AS BIGINT) AS char_start,
+                   CAST(length(regexp_replace(text, '\s+$', ''))
+                        AS BIGINT) AS char_end,
+                   {_CANON_SQL} AS line_text
+            FROM documents""",
     }

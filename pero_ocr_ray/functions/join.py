@@ -1,0 +1,62 @@
+"""Joins: native hash join + explicit partitioned fallback.
+
+Two implementations of the inner equi-join (J3 analog, SURVEY §2.4):
+
+* :func:`hash_join` — Ray Data's native ``Dataset.join`` (hash-partitioned
+  on the key, both sides shuffled into ``num_partitions`` aggregators).
+* :func:`grouped_join` — the portable explicit pattern for engines/versions
+  without a join operator: tag each side, align schemas, union, one
+  ``groupby(key)`` shuffle, and a pandas merge within each key group.
+  Partitioning assumption: all rows of one key fit in one group (salt hot
+  keys into sub-buckets before calling when that's not true).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data as rd
+
+
+def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
+              right_on: str | None = None, num_partitions: int = 16,
+              join_type: str = "inner") -> rd.Dataset:
+    return left.join(right, join_type=join_type, num_partitions=num_partitions,
+                     on=(on,), right_on=(right_on or on,))
+
+
+def grouped_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                 right_on: str | None = None) -> rd.Dataset:
+    right_on = right_on or on
+    lcols = left.schema().names
+    rcols = [c for c in right.schema().names if c != right_on]
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__key"] = df[on]
+        df["__side"] = 0
+        for c in rcols:
+            df[c] = None
+        return df
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({c: df[c] for c in rcols})
+        out["__key"] = df[right_on]
+        out["__side"] = 1
+        for c in lcols:
+            out[c] = None
+        return out[[*lcols, "__key", "__side", *rcols]]
+
+    unioned = (left.map_batches(tag_left, batch_format="pandas")
+               .union(right.map_batches(tag_right, batch_format="pandas")))
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][[*lcols]]
+        rg = g[g["__side"] == 1][[*rcols]].assign(__k=g.loc[g["__side"] == 1, "__key"])
+        if lg.empty or rg.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="object")
+                                 for c in [*lcols, *rcols]})
+        merged = lg.merge(rg, left_on=on, right_on="__k").drop(columns="__k")
+        return merged
+
+    return unioned.groupby("__key").map_groups(join_group, batch_format="pandas")

@@ -30,6 +30,9 @@ class ExtractConfig:
     kind_bonus_heading: float = 1.5  # h1..h6, title
     kind_bonus_content: float = 1.0  # p, li, pre, blockquote, figcaption, dd, td
 
+    keep_all_blocks: bool = False    # WholePageRegion analog
+    # (page_parser.py:159-171): bypass classification, keep every block
+
     # --- edge / page filters (layout_helpers.py:16-34 analogs) ---
     edge_min_chars: int = 15         # drop short non-heading blocks at doc edges
     page_min_chars: int = 25         # if no kept block reaches this, drop page

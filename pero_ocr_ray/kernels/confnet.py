@@ -76,6 +76,20 @@ def best_path(cn: list[dict[str | None, float]]) -> list[str]:
     return out
 
 
+def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Numerically-stable softmax (M17 analog, ocr_engine/softmax.py:4-46)."""
+    x = np.asarray(x, dtype=np.float64)
+    m = x.max(axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def log_softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float64)
+    m = x.max(axis=axis, keepdims=True)
+    return x - m - np.log(np.exp(x - m).sum(axis=axis, keepdims=True))
+
+
 def logaddexp(a: float, b: float) -> float:
     """Prefix-mass merge helper (D3 analog, decoders.py:138-155)."""
     if a == -math.inf:

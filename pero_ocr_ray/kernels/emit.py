@@ -47,20 +47,33 @@ def segment_blocks(blocks: list[dict]) -> None:
 
 def assemble(blocks: list[dict]) -> tuple[str, list[dict]]:
     """Kept+ordered blocks -> (extracted_text, spans). Blocks must already
-    carry ``keep``, ``order`` and ``lines``."""
+    carry ``keep``, ``order`` and ``lines``.
+
+    Span offsets: ``char_start/char_end`` index the visible source stream
+    (logit_coords analog); ``ext_start/ext_end`` index ``extracted_text``
+    itself (ALTO-style positions in the final artifact, enabling the flat
+    per-line projection W5/M4)."""
     kept = sorted((b for b in blocks if b.get("keep")), key=lambda b: b["order"])
     parts: list[str] = []
     spans: list[dict] = []
-    for b in kept:
+    pos = 0  # running offset in extracted_text
+    for bi, b in enumerate(kept):
+        if bi:
+            pos += 2  # the '\n\n' block joiner
         line_texts = []
         for j, (text, s0, s1) in enumerate(b["lines"]):
+            if j:
+                pos += 1  # the '\n' line joiner
             line_texts.append(text)
             spans.append({
                 "block_id": b["block_id"],
                 "line_id": f"{b['block_id']}l{j:03d}",
                 "char_start": s0,
                 "char_end": s1,
+                "ext_start": pos,
+                "ext_end": pos + len(text),
             })
+            pos += len(text)
         parts.append("\n".join(line_texts))
     return "\n\n".join(parts), spans
 

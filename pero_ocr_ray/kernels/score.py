@@ -47,6 +47,11 @@ def classify_blocks(blocks: list[dict], cfg: ExtractConfig = DEFAULT_CONFIG) -> 
     a heading (crumbs / footer stubs at document edges). Whole-page drop:
     when no kept block reaches ``page_min_chars``, everything is dropped.
     """
+    if cfg.keep_all_blocks:  # WholePageRegion analog: no classification
+        for b in blocks:
+            b["score"] = 0.0
+            b["keep"] = b["n_chars"] > 0
+        return
     n = len(blocks)
     for i, b in enumerate(blocks):
         s = score_block(b["n_chars"], b["link_chars"], b["raw_len"],

@@ -18,8 +18,10 @@ from pero_ocr_ray.kernels.emit import extract_document
 SPAN_TYPE = pa.list_(pa.struct([
     ("block_id", pa.string()),
     ("line_id", pa.string()),
-    ("char_start", pa.int64()),
+    ("char_start", pa.int64()),   # into the visible source stream
     ("char_end", pa.int64()),
+    ("ext_start", pa.int64()),    # into extracted_text
+    ("ext_end", pa.int64()),
 ]))
 METRICS_TYPE = pa.struct([
     ("blocks_total", pa.int32()),
@@ -57,17 +59,23 @@ def rows_to_output_table(rows: list[dict]) -> pa.Table:
     line_ids: list[str] = []
     starts: list[int] = []
     ends: list[int] = []
+    ext_starts: list[int] = []
+    ext_ends: list[int] = []
     for r in rows:
         for s in r["spans"]:
             block_ids.append(s["block_id"])
             line_ids.append(s["line_id"])
             starts.append(s["char_start"])
             ends.append(s["char_end"])
+            ext_starts.append(s["ext_start"])
+            ext_ends.append(s["ext_end"])
         offsets.append(len(block_ids))
     span_struct = pa.StructArray.from_arrays(
         [pa.array(block_ids, pa.string()), pa.array(line_ids, pa.string()),
-         pa.array(starts, pa.int64()), pa.array(ends, pa.int64())],
-        names=["block_id", "line_id", "char_start", "char_end"])
+         pa.array(starts, pa.int64()), pa.array(ends, pa.int64()),
+         pa.array(ext_starts, pa.int64()), pa.array(ext_ends, pa.int64())],
+        names=["block_id", "line_id", "char_start", "char_end",
+               "ext_start", "ext_end"])
     spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), span_struct)
     metrics = pa.StructArray.from_arrays(
         [pa.array([r["metrics"]["blocks_total"] for r in rows], pa.int32()),

@@ -199,6 +199,57 @@ class ClassifyStage:
                                 _blocks_to_arrow(docs))
 
 
+# ---------------------------------------------------------------------------
+# projections over extraction output
+# ---------------------------------------------------------------------------
+
+
+def explode_lines(ds):
+    """Flat per-line table (W5/M4 analog): one row per emitted line with its
+    text recovered from extracted_text via the ext_* span offsets."""
+    def fn(t: pa.Table) -> pa.Table:
+        urls, bids, lids, cs, ce, texts = [], [], [], [], [], []
+        for url, ext, spans in zip(t.column("url").to_pylist(),
+                                   t.column("extracted_text").to_pylist(),
+                                   t.column("spans").to_pylist()):
+            for s in spans:
+                urls.append(url)
+                bids.append(s["block_id"])
+                lids.append(s["line_id"])
+                cs.append(s["char_start"])
+                ce.append(s["char_end"])
+                texts.append(ext[s["ext_start"]:s["ext_end"]])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "block_id": pa.array(bids, pa.string()),
+            "line_id": pa.array(lids, pa.string()),
+            "char_start": pa.array(cs, pa.int64()),
+            "char_end": pa.array(ce, pa.int64()),
+            "line_text": pa.array(texts, pa.string()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def render_debug_html(ds):
+    """Debug dump (W4 rendered-overlay analog): one self-contained HTML
+    string per doc showing kept blocks in reading order with metrics."""
+    def fn(t: pa.Table) -> pa.Table:
+        out = []
+        for url, ext, m in zip(t.column("url").to_pylist(),
+                               t.column("extracted_text").to_pylist(),
+                               t.column("metrics").to_pylist()):
+            import html as h
+            body = "".join(f"<p>{h.escape(p)}</p>"
+                           for p in ext.split("\n\n") if p)
+            out.append(
+                f"<html><body><h1>{h.escape(url)}</h1>"
+                f"<p>kept {m['blocks_kept']}/{m['blocks_total']} blocks, "
+                f"{m['chars_emitted']} chars</p>{body}</body></html>")
+        return pa.table({"url": t.column("url"),
+                         "debug_html": pa.array(out, pa.string())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def order_stage(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
     docs = _blocks_from_arrow(batch.column("blocks"))
     for blocks in docs:

@@ -188,3 +188,105 @@ def test_registry_unknown_stage_raises():
     from pero_ocr_ray.pipelines.registry import build_from_spec
     with pytest.raises(KeyError, match="unknown stage"):
         build_from_spec(rd.from_items([{"x": 1}]), [{"stage": "nope"}])
+
+
+# ---- projections, textlist IO, joins, fallback ----------------------------
+
+def test_explode_lines_roundtrip():
+    from pero_ocr_ray.oracle import extract_table
+    from pero_ocr_ray.sources.pages import synthesize_pages
+    from pero_ocr_ray.stages.extract import explode_lines
+    pages = synthesize_pages(36)
+    # unique urls only: the reassembly check below keys by url
+    import pyarrow as pa
+    urls = pages.column("url").to_pylist()
+    keep = [i for i, u in enumerate(urls) if u not in urls[:i]]
+    pages = pages.take(pa.array(keep))
+    out = rd.from_arrow(extract_table(pages))
+    flat = dataset_to_table(explode_lines(out)).to_pandas()
+    assert len(flat) > len(keep)
+    # line text from ext offsets must never contain the block/line joiners
+    assert not flat["line_text"].str.contains("\n").any()
+    # reassembling per url matches extracted_text
+    full = extract_table(pages).to_pandas()
+    by_url = dict(zip(full["url"], full["extracted_text"]))
+    import collections
+    texts = collections.defaultdict(list)
+    for _, r in flat.iterrows():
+        texts[r["url"]].append((r["block_id"], r["line_id"], r["line_text"]))
+    for url, items in texts.items():
+        blocks = collections.defaultdict(list)
+        for bid, lid, text in items:
+            blocks[bid].append(text)
+        rebuilt = "\n\n".join("\n".join(v) for v in blocks.values())
+        assert rebuilt == by_url[url]
+
+
+def test_render_debug_html():
+    from pero_ocr_ray.oracle import extract_table
+    from pero_ocr_ray.sources.pages import synthesize_pages
+    from pero_ocr_ray.stages.extract import render_debug_html
+    out = rd.from_arrow(extract_table(synthesize_pages(18)))
+    dbg = dataset_to_table(render_debug_html(out)).to_pandas()
+    assert dbg["debug_html"].str.startswith("<html>").all()
+
+
+def test_transcription_list_roundtrip(tmp_path):
+    from pero_ocr_ray.sources.textlist import (
+        read_transcription_list, write_transcription_list,
+    )
+    ds = rd.from_items([
+        {"url": "u1", "extracted_text": "hello\nworld"},
+        {"url": "u2", "extracted_text": "second doc"},
+    ])
+    write_transcription_list(ds, str(tmp_path / "out"))
+    back = dataset_to_table(read_transcription_list(str(tmp_path / "out"))
+                            ).to_pandas()
+    got = dict(zip(back["key"], back["text"]))
+    assert got == {"u1": "hello world", "u2": "second doc"}
+
+
+def test_hash_join_native():
+    from pero_ocr_ray.functions.join import hash_join
+    left = rd.from_items([{"k": 1, "a": "x"}, {"k": 2, "a": "y"},
+                          {"k": 3, "a": "z"}])
+    right = rd.from_items([{"k": 1, "b": 10}, {"k": 2, "b": 20},
+                           {"k": 9, "b": 90}])
+    out = dataset_to_table(hash_join(left, right, "k", num_partitions=2)
+                           ).to_pandas().sort_values("k", ignore_index=True)
+    assert out["k"].tolist() == [1, 2]
+    assert out["b"].tolist() == [10, 20]
+
+
+def test_grouped_join_matches_pandas():
+    from pero_ocr_ray.functions.join import grouped_join
+    left = rd.from_items([{"k": i % 5, "a": i} for i in range(20)])
+    right = rd.from_items([{"k": j, "b": j * 100} for j in range(3)])
+    out = dataset_to_table(grouped_join(left, right, "k")).to_pandas()
+    out = out.sort_values(["k", "a"], ignore_index=True)[["k", "a", "b"]]
+    import pandas as pd
+    lp = pd.DataFrame({"k": [i % 5 for i in range(20)], "a": range(20)})
+    rp = pd.DataFrame({"k": range(3), "b": [j * 100 for j in range(3)]})
+    want = lp.merge(rp, on="k").sort_values(["k", "a"], ignore_index=True)
+    assert out.astype("int64").equals(want.astype("int64"))
+
+
+def test_keep_all_blocks_fallback():
+    from pero_ocr_ray.kernels.config import ExtractConfig
+    from pero_ocr_ray.kernels.emit import extract_document
+    raw = (b"<html><body><nav><a href='/'>home link menu</a></nav>"
+           b"<p>tiny</p></body></html>")
+    default = extract_document("u", raw)
+    keep_all = extract_document("u", raw, ExtractConfig(keep_all_blocks=True))
+    assert default["metrics"]["blocks_kept"] == 0  # short page dropped
+    assert keep_all["metrics"]["blocks_kept"] == 2  # WholePageRegion analog
+    assert "home link menu" in keep_all["extracted_text"]
+
+
+def test_softmax():
+    import numpy as np
+    from pero_ocr_ray.kernels.confnet import log_softmax, softmax
+    x = np.array([1.0, 2.0, 3.0])
+    s = softmax(x)
+    assert s.sum() == pytest.approx(1.0)
+    assert np.allclose(np.log(s), log_softmax(x))
