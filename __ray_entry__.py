@@ -245,6 +245,25 @@ def _q_segment_counts(sf_dir: str):
         rd.read_parquet(os.path.join(sf_dir, "customer.parquet")))
 
 
+def _q_events_sliding(sf_dir: str):
+    from pero_ocr_ray.functions.windows import sliding_window_counts
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return sliding_window_counts(ev, 2, 1)
+
+
+def _q_ivf_knn(sf_dir: str):
+    """IVF approximate knn (rows-only: approximate by design)."""
+    import numpy as np
+    from pero_ocr_ray.functions.similarity import ivf_knn
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head = sorted(emb.filter(lambda r: r["vec_id"] < 5).take_all(),
+                  key=lambda r: r["vec_id"])
+    queries = np.array([np.asarray(r["embedding"], dtype=np.float64)
+                        for r in head])
+    return ivf_knn(emb, queries, [int(r["vec_id"]) for r in head],
+                   top_k=10, n_lists=8, n_probe=4)
+
+
 def _q_extract_lines(sf_dir: str):
     from pero_ocr_ray.stages.extract import explode_lines
     return explode_lines(_extract(sf_dir, "simple"))
@@ -284,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segment_counts": _q_segment_counts,
         "page_quality": _q_page_quality,
         "extract_lines": _q_extract_lines,
+        "events_sliding": _q_events_sliding,
+        "ivf_knn": _q_ivf_knn,
     }
 
 
@@ -388,6 +409,16 @@ def oracle_sql() -> dict[str, str]:
         "customer_segment_counts": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
             FROM customer GROUP BY c_mktsegment""",
+        "events_sliding": """
+            WITH w AS (
+                SELECT event_type,
+                       unnest([date_trunc('hour', ts),
+                               date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                           AS window_start
+                FROM events)
+            SELECT event_type, window_start,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY event_type, window_start""",
         "extract_lines": rf"""
             SELECT {_URL_SQL} AS url,
                    'b0000' AS block_id, 'b0000l000' AS line_id,

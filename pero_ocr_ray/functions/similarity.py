@@ -86,6 +86,79 @@ def knn_self_queries(ds: rd.Dataset, n_queries: int = 5,
     return knn_cosine(ds, queries, qids, top_k=top_k)
 
 
+# -- IVF variant (scale path) ----------------------------------------------
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 11) -> np.ndarray:
+    """Tiny deterministic k-means (seeded init, fixed iterations)."""
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                                  replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(_normalize(sample) @ _normalize(centroids).T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_knn(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
+            top_k: int = 10, n_lists: int = 16, n_probe: int = 4,
+            sample_size: int = 2048, exclude_self: bool = True) -> rd.Dataset:
+    """Approximate top-k: IVF with a driver-trained coarse quantizer.
+
+    Train centroids on a bounded sample (one small take), broadcast them,
+    assign every corpus vector to its nearest list inside ``map_batches``,
+    and score a batch row only when its list is among the query's ``n_probe``
+    closest lists — the scan shrinks by ~n_probe/n_lists while recall stays
+    high for clustered data. Exact same output schema as :func:`knn_cosine`.
+    """
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = _as_matrix([r["embedding"] for r in sample_rows])
+    centroids = _normalize(_kmeans(sample, n_lists))
+    qn = _normalize(_as_matrix(queries))
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    state = ray.put((qn, np.asarray(query_ids, dtype=np.int64),
+                     centroids, probe))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qm, qids, cents, probes = ray.get(state)
+        x = _normalize(_as_matrix(df["embedding"].tolist()))
+        vec_ids = df["vec_id"].to_numpy(dtype=np.int64)
+        lists = np.argmax(x @ cents.T, axis=1)
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi in range(qm.shape[0]):
+            mask = np.isin(lists, probes[qi])
+            if exclude_self:
+                mask &= vec_ids != qids[qi]
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            col = x[idx] @ qm[qi]
+            take = min(top_k, len(idx))
+            part = np.argpartition(-col, take - 1)[:take]
+            out["query_id"].extend([int(qids[qi])] * take)
+            out["neighbor_id"].extend(vec_ids[idx[part]].tolist())
+            out["sim"].extend(col[part].tolist())
+        return pd.DataFrame({k: pd.Series(v, dtype="float64" if k == "sim" else "int64")
+                             for k, v in out.items()})
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(top_k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({
+            "query_id": g["query_id"].astype("int64"),
+            "neighbor_id": g["neighbor_id"].astype("int64"),
+            "rank": pd.Series(range(1, len(g) + 1), dtype="int64"),
+        })
+
+    cand = ds.map_batches(local_topk, batch_format="pandas")
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 # -- LSH-bucketed variant (scale path) -------------------------------------
 
 _N_PLANES = 12

@@ -40,6 +40,46 @@ def tumbling_window_counts(ds: rd.Dataset, freq: str = "h") -> rd.Dataset:
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+def sliding_window_counts(ds: rd.Dataset, size_hours: int = 2,
+                          step_hours: int = 1) -> rd.Dataset:
+    """-> (event_type, window_start, n_events) sliding windows: each event
+    lands in size/step consecutive step-aligned windows (exploded in the
+    partial stage, so the shuffle still moves per-window partials)."""
+    k = size_hours // step_hours
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor(f"{step_hours}h").astype("datetime64[us]")
+        frames = []
+        for i in range(k):
+            shifted = (base - pd.Timedelta(hours=step_hours * i)
+                       ).astype("datetime64[us]")  # Timedelta promotes to ns
+            frames.append(pd.DataFrame({
+                "event_type": df["event_type"],
+                "window_start": shifted,
+            }))
+        allw = pd.concat(frames, ignore_index=True)
+        g = (allw.groupby(["event_type", "window_start"], as_index=False)
+                 .size().rename(columns={"size": "n_partial"}))
+        g["key"] = (g["event_type"] + "|"
+                    + g["window_start"].astype("int64").astype(str))
+        return g[["key", "n_partial"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("key").aggregate(Sum("n_partial",
+                                                alias_name="n_events"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["key"].str.rsplit("|", n=1, expand=True)
+        return pd.DataFrame({
+            "event_type": parts[0],
+            "window_start": pd.to_datetime(parts[1].astype("int64"),
+                                           unit="us").astype("datetime64[us]"),
+            "n_events": df["n_events"].astype("int64"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
 def sessionize(ds: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
     """-> (user_id, n_sessions): session counts with a `gap_minutes`
     inactivity threshold.

@@ -39,7 +39,7 @@ _EPOCH = datetime.datetime(2026, 1, 1)
 
 
 def _words(rng: random.Random, n: int) -> str:
-    return " ".join(rng.choice(_WORDS) for _ in range(n))
+    return " ".join(rng.choices(_WORDS, k=n))  # C-speed sampling
 
 
 def _para(rng: random.Random, n: int = 14) -> str:
