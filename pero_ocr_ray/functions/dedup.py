@@ -83,14 +83,25 @@ class MinHashStage:
                              "signature": sigs})
 
 
+MAX_BUCKET = 512  # hot-bucket guard: pairs are quadratic in bucket size
+
+
 def _band_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """Candidate pairs within one LSH bucket, Jaccard estimated from the
-    signatures riding along (no corpus re-join)."""
+    signatures riding along (no corpus re-join).
+
+    Buckets beyond MAX_BUCKET docs are truncated to the MAX_BUCKET smallest
+    doc_ids (deterministic). A bucket that hot means near-identical boiler
+    content; the survivors still link the cluster transitively, and the cap
+    keeps the stage from going quadratic on a pathological key at corpus
+    scale."""
     if len(group) < 2:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "est_jaccard": pd.Series([], dtype="float64")})
     g = group.drop_duplicates("doc_id").sort_values("doc_id")
+    if len(g) > MAX_BUCKET:
+        g = g.head(MAX_BUCKET)
     ids = g["doc_id"].to_numpy()
     sigs = np.array(g["signature"].tolist(), dtype=np.int64)
     rows_a, rows_b, est = [], [], []

@@ -84,13 +84,24 @@ def extract_document(url: str, raw: bytes,
 
     Columns: url, extracted_text, spans, metrics{blocks_total, blocks_kept,
     blocks_dropped, chars_emitted}, payload_kind, encoding, error.
+
+    Any unexpected kernel failure degrades to an empty error-flagged row —
+    the reference's skip-and-continue semantics
+    (/root/reference/user_scripts/parse_folder.py:213-216): one poison
+    document must never kill its batch.
     """
-    blocks, kind, encoding, error = parse_payload(raw, cfg)
-    segment_blocks(blocks)
-    classify_blocks(blocks, cfg)
-    kept = [b for b in blocks if b["keep"]]
-    reading_order(kept)
-    extracted_text, spans = assemble(blocks)
+    try:
+        blocks, kind, encoding, error = parse_payload(raw, cfg)
+        segment_blocks(blocks)
+        classify_blocks(blocks, cfg)
+        kept = [b for b in blocks if b["keep"]]
+        reading_order(kept)
+        extracted_text, spans = assemble(blocks)
+    except Exception as exc:  # noqa: BLE001 — per-row guard by design
+        blocks, kept, spans = [], [], []
+        extracted_text = ""
+        kind, encoding = "html", ""
+        error = f"extract_error:{type(exc).__name__}"
     return {
         "url": url,
         "extracted_text": extracted_text,

@@ -22,9 +22,6 @@ def xy_cut(rects: list[tuple[float, float, float, float, int]]) -> list[int]:
     vertical cuts (left-before-right); unsplittable groups fall back to a
     stable (y0, x0, key) sort.
     """
-    if len(rects) <= 1:
-        return [r[4] for r in rects]
-
     def try_split(items, lo_i, hi_i):
         # find a gap in the projection onto one axis; returns parts or None
         order = sorted(items, key=lambda r: (r[lo_i], r[hi_i], r[4]))
@@ -41,14 +38,23 @@ def xy_cut(rects: list[tuple[float, float, float, float, int]]) -> list[int]:
         parts.append(cur)
         return parts if len(parts) > 1 else None
 
-    parts = try_split(rects, 1, 3)  # horizontal cut on y
-    if parts is None:
-        parts = try_split(rects, 0, 2)  # vertical cut on x
-    if parts is None:
-        return [r[4] for r in sorted(rects, key=lambda r: (r[1], r[0], r[4]))]
+    # iterative (explicit work stack): a page with thousands of bands would
+    # otherwise exceed Python's recursion limit
     out: list[int] = []
-    for part in parts:
-        out.extend(xy_cut(part))
+    stack = [rects]
+    while stack:
+        group = stack.pop()
+        if len(group) <= 1:
+            out.extend(r[4] for r in group)
+            continue
+        parts = try_split(group, 1, 3)  # horizontal cut on y
+        if parts is None:
+            parts = try_split(group, 0, 2)  # vertical cut on x
+        if parts is None:
+            out.extend(r[4] for r in
+                       sorted(group, key=lambda r: (r[1], r[0], r[4])))
+            continue
+        stack.extend(reversed(parts))  # preserve top-to-bottom order
     return out
 
 

@@ -241,3 +241,38 @@ def test_extract_document_deterministic():
     assert a == b
     assert a["extracted_text"] == "real content paragraph with enough text here"
     assert a["metrics"]["blocks_kept"] == 1
+
+
+# ---- adversarial robustness ----------------------------------------------
+
+def test_pathological_many_bands_no_recursion_error():
+    # 4000 alternating full-width blocks -> 4000 bands; xy_cut must not
+    # recurse per band
+    html = "<body>" + "".join(f"<p>block {i} with some words here</p>"
+                              for i in range(4000)) + "</body>"
+    out = extract_document("u", html.encode())
+    assert out["error"] == ""
+    assert out["metrics"]["blocks_kept"] == 4000
+    # dom order preserved
+    first, last = out["extracted_text"].split("\n\n")[0], \
+        out["extracted_text"].split("\n\n")[-1]
+    assert first.startswith("block 0") and last.startswith("block 3999")
+
+
+def test_deeply_nested_divs_survive():
+    html = "<div>" * 2000 + "<p>deep content paragraph with words</p>" \
+        + "</div>" * 2000
+    out = extract_document("u", html.encode())
+    # either extracted fine or error-flagged — never an exception
+    assert isinstance(out["extracted_text"], str)
+
+
+def test_poison_row_degrades_to_error():
+    from unittest import mock
+    from pero_ocr_ray.kernels import emit as emit_mod
+    with mock.patch.object(emit_mod, "classify_blocks",
+                           side_effect=RuntimeError("boom")):
+        out = extract_document("u", b"<p>some normal content here</p>")
+    assert out["extracted_text"] == ""
+    assert out["error"] == "extract_error:RuntimeError"
+    assert out["metrics"]["blocks_total"] == 0
