@@ -76,6 +76,65 @@ def levenshtein_alignment(a: str, b: str) -> list[tuple[str | None, str | None]]
     return path[::-1]
 
 
+def levenshtein_substring(needle, haystack) -> tuple[int, int]:
+    """Best approximate occurrence of ``needle`` inside ``haystack``:
+    -> (edit_distance, end_position). Substring variant of the reference's
+    alignment suite (/root/reference/pero_ocr/sequence_alignment.py — the
+    substring functions): deletions of haystack prefix/suffix are free."""
+    if not needle:
+        return 0, 0
+    n, m = len(needle), len(haystack)
+    h_arr = np.array(list(haystack)) if m else np.array([], dtype="<U1")
+    prev = np.zeros(m + 1, dtype=np.int64)  # free prefix skip
+    for i in range(n):
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = i + 1
+        ch = needle[i]
+        np.minimum(prev[:-1] + (h_arr != ch), prev[1:] + 1, out=cur[1:])
+        for j in range(1, m + 1):
+            if cur[j] > cur[j - 1] + 1:
+                cur[j] = cur[j - 1] + 1
+        prev = cur
+    end = int(np.argmin(prev))
+    return int(prev[end]), end
+
+
+def find_best_overlap(head: str, tail: str, max_overlap: int = 256) -> int:
+    """Chunk-merge primitive (A4 analog,
+    /root/reference/pero_ocr/ocr_engine/line_ocr_engine.py:180-211): given
+    the end of one processed chunk and the start of the next (which share an
+    overlapping region), return how many chars of ``tail``'s start duplicate
+    ``head``'s end — the cut point for a seamless merge."""
+    window = min(max_overlap, len(head), len(tail))
+    if window == 0:
+        return 0
+    head_end = head[-window:]
+    # pass 1: longest EXACT suffix-prefix match (the common case when both
+    # chunks came from the same source text)
+    for olen in range(window, 0, -1):
+        if head_end[-olen:] == tail[:olen]:
+            return olen
+    # pass 2: noisy overlap — minimize normalized edit cost, prefer longer
+    best_len, best_ratio = 0, 1.0
+    for olen in range(window, 3, -1):
+        cost = levenshtein_distance(head_end[-olen:], tail[:olen])
+        ratio = cost / olen
+        if ratio < best_ratio - 1e-9:
+            best_ratio, best_len = ratio, olen
+    return best_len if best_ratio <= 0.25 else 0
+
+
+def merge_chunks(chunks: list[str], max_overlap: int = 256) -> str:
+    """Merge sequentially-processed overlapping chunks into one text."""
+    if not chunks:
+        return ""
+    out = chunks[0]
+    for nxt in chunks[1:]:
+        cut = find_best_overlap(out, nxt, max_overlap)
+        out += nxt[cut:]
+    return out
+
+
 def align_positions(hyp: str, ref: str) -> list[int]:
     """For each char of ``hyp``, the position of its aligned char in ``ref``
     (-1 for insertions) — the char-span alignment analog of the reference's

@@ -8,7 +8,7 @@ Python scalars so the config ships to Ray workers without surprises.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 
 
 @dataclass(frozen=True)

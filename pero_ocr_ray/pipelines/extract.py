@@ -13,7 +13,6 @@ compute. Never calls ``ray.init``/``ray.shutdown`` (driver owns the session).
 from __future__ import annotations
 
 import functools
-import json
 import os
 
 import pyarrow as pa

@@ -29,13 +29,13 @@ import pyarrow as pa
 from pero_ocr_ray.kernels.config import ExtractConfig
 from pero_ocr_ray.kernels.decode import decode_payload, payload_kind
 from pero_ocr_ray.kernels.emit import (
-    assemble, extract_document, parse_payload, segment_blocks,
+    assemble, extract_document, segment_blocks,
 )
 from pero_ocr_ray.kernels.htmlparse import parse_html
 from pero_ocr_ray.kernels.order import reading_order
 from pero_ocr_ray.kernels.pdfmini import pdf_blocks
 from pero_ocr_ray.kernels.score import classify_blocks
-from pero_ocr_ray.oracle import OUTPUT_SCHEMA, rows_to_output_table
+from pero_ocr_ray.oracle import rows_to_output_table
 
 # ---------------------------------------------------------------------------
 # fused stage (default)

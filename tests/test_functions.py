@@ -223,3 +223,28 @@ def test_sessionize():
     out = out.sort_values("user_id", ignore_index=True)
     # user 1: 00:00+00:10 | 01:00 | next day  -> 3 sessions; user 2 -> 1
     assert out["n_sessions"].tolist() == [3, 1]
+
+
+def test_levenshtein_substring():
+    from pero_ocr_ray.kernels.align import levenshtein_substring
+    d, end = levenshtein_substring("world", "hello world again")
+    assert d == 0 and end == 11
+    d, _ = levenshtein_substring("wxrld", "hello world again")
+    assert d == 1
+    assert levenshtein_substring("", "abc") == (0, 0)
+    d, _ = levenshtein_substring("abc", "")
+    assert d == 3
+
+
+def test_chunk_overlap_merge():
+    from pero_ocr_ray.kernels.align import find_best_overlap, merge_chunks
+    full = "the quick brown fox jumps over the lazy dog and runs far away"
+    a, b = full[:40], full[25:]  # 15-char overlap
+    assert find_best_overlap(a, b) == 15
+    assert merge_chunks([a, b]) == full
+    # disjoint chunks: no overlap detected, plain concat
+    assert merge_chunks(["abcdef", "uvwxyz"]) == "abcdefuvwxyz"
+    # three-way with noisy overlap (one edit inside the shared region)
+    c1, c2 = full[:40], ("X" + full[26:])
+    merged = merge_chunks([c1, c2])
+    assert merged.endswith("far away") and merged.startswith("the quick")
