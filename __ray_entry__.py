@@ -127,8 +127,10 @@ def _q_merge_best(sf_dir: str):
     return merge_results([a, b])
 
 
-def _docs(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+def _docs(sf_dir: str, columns: list[str] | None = None):
+    # prune at the read: only the columns the operator touches leave storage
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns or ["doc_id", "text"])
 
 
 def _q_token_counts(sf_dir: str):
@@ -148,7 +150,7 @@ def _q_content_hash(sf_dir: str):
 
 def _q_lang_id(sf_dir: str):
     from pero_ocr_ray.functions.textstats import lang_ids
-    return lang_ids(_docs(sf_dir))
+    return lang_ids(_docs(sf_dir))  # doc_id+text only
 
 
 def _q_fingerprints(sf_dir: str):
@@ -193,21 +195,29 @@ def _q_embedding_near_dup(sf_dir: str):
 
 def _q_events_hourly(sf_dir: str):
     from pero_ocr_ray.functions.windows import tumbling_window_counts
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
     return tumbling_window_counts(ev, "h")
 
 
 def _q_q1(sf_dir: str):
     from pero_ocr_ray.functions.relational import pricing_summary
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
     return pricing_summary(li, "2000-01-01")
 
 
 def _q_q3(sf_dir: str):
     from pero_ocr_ray.functions.relational import top_orders_by_revenue
-    c = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"))
-    o = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    c = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_mktsegment"])
+    o = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
     return top_orders_by_revenue(c, o, li, "BUILDING", "1998-01-01", 10)
 
 
@@ -220,12 +230,13 @@ def _q_suppliers_per_nation(sf_dir: str):
 
 def _q_lang_counts(sf_dir: str):
     from pero_ocr_ray.functions.relational import lang_counts
-    return lang_counts(_docs(sf_dir))
+    return lang_counts(_docs(sf_dir, ["lang"]))
 
 
 def _q_sessionize(sf_dir: str):
     from pero_ocr_ray.functions.windows import sessionize
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
     return sessionize(ev, 30)
 
 
@@ -247,7 +258,8 @@ def _q_segment_counts(sf_dir: str):
 
 def _q_events_sliding(sf_dir: str):
     from pero_ocr_ray.functions.windows import sliding_window_counts
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
     return sliding_window_counts(ev, 2, 1)
 
 
@@ -256,7 +268,10 @@ def _q_ivf_knn(sf_dir: str):
     import numpy as np
     from pero_ocr_ray.functions.similarity import ivf_knn
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    head = sorted(emb.filter(lambda r: r["vec_id"] < 5).take_all(),
+    import pyarrow.compute as _pc
+    head = sorted(emb.map_batches(
+                      lambda t: t.filter(_pc.less(t["vec_id"], 5)),
+                      batch_format="pyarrow").take_all(),
                   key=lambda r: r["vec_id"])
     queries = np.array([np.asarray(r["embedding"], dtype=np.float64)
                         for r in head])

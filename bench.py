@@ -91,7 +91,9 @@ def run_bench() -> dict:
     def run_once(tag: str) -> float:
         shutil.rmtree(f"{out_dir}_{tag}", ignore_errors=True)
         t0 = time.time()
-        ds = rd.read_parquet(paths)
+        # prune at the read: the pipeline never touches the `text` column
+        ds = rd.read_parquet(paths, columns=["url", "warc_ts", "html",
+                                             "lang", "row_id"])
         result = extract_pipeline(ds)
         result.write_parquet(f"{out_dir}_{tag}")
         return time.time() - t0

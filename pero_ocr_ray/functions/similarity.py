@@ -78,7 +78,9 @@ def knn_cosine(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
 def knn_self_queries(ds: rd.Dataset, n_queries: int = 5,
                      top_k: int = 10) -> rd.Dataset:
     """Convenience: use vec_id < n_queries rows of the corpus as queries."""
-    head = (ds.filter(lambda r: r["vec_id"] < n_queries)
+    import pyarrow.compute as _pc
+    head = (ds.map_batches(lambda t: t.filter(_pc.less(t["vec_id"], n_queries)),
+                           batch_format="pyarrow")
               .take_all())  # tiny: n_queries rows
     head.sort(key=lambda r: r["vec_id"])
     queries = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in head])

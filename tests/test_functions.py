@@ -248,3 +248,16 @@ def test_chunk_overlap_merge():
     c1, c2 = full[:40], ("X" + full[26:])
     merged = merge_chunks([c1, c2])
     assert merged.endswith("far away") and merged.startswith("the quick")
+
+
+def test_sliding_window_counts():
+    from pero_ocr_ray.functions.windows import sliding_window_counts
+    ts = pd.to_datetime(["2024-01-01 00:30", "2024-01-01 01:30"])
+    ds = rd.from_pandas(pd.DataFrame({"ts": ts, "event_type": ["a", "a"]}))
+    out = dataset_to_table(sliding_window_counts(ds, 2, 1)).to_pandas()
+    out = out.sort_values("window_start", ignore_index=True)
+    # event@00:30 -> windows 23:00,00:00 ; event@01:30 -> 00:00,01:00
+    got = {(str(r["window_start"]), r["n_events"]) for _, r in out.iterrows()}
+    assert got == {("2023-12-31 23:00:00", 1),
+                   ("2024-01-01 00:00:00", 2),
+                   ("2024-01-01 01:00:00", 1)}
