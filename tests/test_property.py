@@ -1,0 +1,126 @@
+"""Property-based robustness + WARC source tests.
+
+The reference has no property tests (SURVEY §5); these go beyond it: on
+arbitrary byte/text soup the extraction kernel must never raise, and its
+output must satisfy the span invariants the downstream projections rely on.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+import ray.data as rd
+
+from pero_ocr_ray.kernels.emit import extract_document
+from pero_ocr_ray.util import dataset_to_table
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=4096))
+def test_extract_never_raises_on_bytes(raw):
+    out = extract_document("u", raw)
+    assert isinstance(out["extracted_text"], str)
+    assert out["metrics"]["chars_emitted"] == len(out["extracted_text"])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("<>/ab p&#;\"'=\n\t!-")),
+               max_size=2048))
+def test_extract_never_raises_on_tag_soup(soup):
+    out = extract_document("u", soup.encode())
+    assert isinstance(out["extracted_text"], str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                        min_size=0, max_size=120),
+                min_size=1, max_size=8))
+def test_span_invariants_on_random_paragraphs(paras):
+    import html as h
+    doc = "<body>" + "".join(f"<p>{h.escape(p)}</p>" for p in paras) + "</body>"
+    out = extract_document("u", doc.encode())
+    text = out["extracted_text"]
+    ext_positions = []
+    for s in out["spans"]:
+        # ext offsets always slice extracted_text to the line text exactly
+        assert 0 <= s["ext_start"] <= s["ext_end"] <= len(text)
+        line = text[s["ext_start"]:s["ext_end"]]
+        assert "\n" not in line
+        ext_positions.append(s["ext_start"])
+        # source offsets are ordered and in range when present
+        if s["char_start"] >= 0:
+            assert s["char_start"] < s["char_end"]
+    assert ext_positions == sorted(ext_positions)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=500))
+def test_determinism_on_arbitrary_text(payload):
+    doc = f"<article><p>{payload}</p></article>".encode()
+    assert extract_document("u", doc) == extract_document("u", doc)
+
+
+# ---- WARC source ----------------------------------------------------------
+
+def _sample_records():
+    return [
+        ("https://a.example/1", "2026-01-01T00:00:00Z",
+         b"<html><body><article><p>first page content with enough words here"
+         b" to pass the minimum</p></article></body></html>"),
+        ("https://a.example/2", "2026-01-01T00:02:17Z",
+         b"<html><body><p>second page body also has plenty of words in it"
+         b" for extraction</p></body></html>"),
+    ]
+
+
+def test_warc_roundtrip_plain(tmp_path):
+    from pero_ocr_ray.sources.warc import make_warc, parse_warc_bytes
+    data = make_warc(_sample_records())
+    recs = parse_warc_bytes(data)
+    assert [r["url"] for r in recs] == ["https://a.example/1",
+                                       "https://a.example/2"]
+    assert recs[0]["html"].startswith(b"<html>")
+    assert recs[0]["warc_ts"].year == 2026
+
+
+def test_warc_gzip_and_pipeline(tmp_path):
+    from pero_ocr_ray.pipelines.extract import extract_pipeline
+    from pero_ocr_ray.sources.warc import make_warc, read_warc
+    p1 = tmp_path / "crawl-0.warc.gz"
+    p1.write_bytes(make_warc(_sample_records(), compress=True))
+    p2 = tmp_path / "crawl-1.warc"
+    p2.write_bytes(make_warc([("https://b.example/3", "2026-02-02T10:00:00Z",
+                               b"<p>third page with sufficient textual "
+                               b"content for the filters</p>")]))
+    ds = read_warc([str(p1), str(p2)])
+    out = dataset_to_table(extract_pipeline(ds, concurrency=1)).sort_by("row_id")
+    assert out.num_rows == 3
+    texts = out.column("extracted_text").to_pylist()
+    assert "first page content" in texts[0]
+    assert "third page" in texts[2]
+    # lineage: file 0 records then file 1 records
+    rids = out.column("row_id").to_pylist()
+    assert rids == [0, 1, 1_000_000_000]
+
+
+def test_warc_malformed_records_skipped():
+    from pero_ocr_ray.sources.warc import make_warc, parse_warc_bytes
+    good = make_warc(_sample_records())
+    mangled = good[:40] + b"GARBAGE" + good[40:]  # corrupt first record
+    recs = parse_warc_bytes(mangled)
+    assert len(recs) >= 1  # the intact record still parses
+
+
+def test_warc_dataset_is_dedupable():
+    from pero_ocr_ray.pipelines.extract import dedup_pages
+    from pero_ocr_ray.sources.warc import make_warc, read_warc
+    import tempfile, os
+    recs = _sample_records()
+    recs.append((recs[0][0], "2026-01-05T00:00:00Z",
+                 b"<p>a recrawl of page one with newer fresher text body</p>"))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.warc")
+        with open(path, "wb") as fh:
+            fh.write(make_warc(recs))
+        survivors = dataset_to_table(dedup_pages(read_warc(path)))
+    assert survivors.num_rows == 2
+    by_url = {r["url"]: r for r in survivors.to_pylist()}
+    assert b"recrawl" in by_url["https://a.example/1"]["html"]
