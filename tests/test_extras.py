@@ -290,3 +290,27 @@ def test_softmax():
     s = softmax(x)
     assert s.sum() == pytest.approx(1.0)
     assert np.allclose(np.log(s), log_softmax(x))
+
+
+def test_dehyphenate_kernel():
+    from pero_ocr_ray.stages.refine import dehyphenate_text
+    assert dehyphenate_text("an exam-\nple line") == "an example line"
+    # chained merge across three lines
+    assert dehyphenate_text("su-\nper-\nword end") == "superword end"
+    # uppercase continuation (proper noun / new sentence) is NOT merged
+    assert dehyphenate_text("end-\nBeginning") == "end-\nBeginning"
+    # block boundary resets state
+    assert dehyphenate_text("exam-\n\nple") == "exam-\n\nple"
+    assert dehyphenate_text("no hyphens here") == "no hyphens here"
+
+
+def test_refine_stage():
+    from pero_ocr_ray.stages.refine import refine
+    ds = rd.from_items([
+        {"url": "u1", "extracted_text": "hyphen-\nated word"},
+        {"url": "u2", "extracted_text": "plain text"},
+    ])
+    out = dataset_to_table(refine(ds, concurrency=1)).to_pandas()
+    out = out.sort_values("url", ignore_index=True)
+    assert out["refined_text"].tolist() == ["hyphenated word", "plain text"]
+    assert out["extracted_text"].tolist() == ["hyphen-\nated word", "plain text"]
