@@ -284,6 +284,70 @@ def _q_extract_lines(sf_dir: str):
     return explode_lines(_extract(sf_dir, "simple"))
 
 
+def _q_warc_extract(sf_dir: str):
+    """WARC-native input path: build a deterministic WARC from documents,
+    read it with the stdlib WARC source, extract (rows-only)."""
+    import hashlib
+    from pero_ocr_ray.pipelines.extract import extract_pipeline
+    from pero_ocr_ray.sources.warc import make_warc
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    recs = []
+    import html as html_mod
+    for did, text in zip(docs.column("doc_id").to_pylist()[:200],
+                         docs.column("text").to_pylist()[:200]):
+        body = (f"<html><body><article><p>{html_mod.escape(text)}</p>"
+                f"</article></body></html>").encode()
+        recs.append((f"https://warc.example/d/{did}",
+                     "2026-01-01T00:00:00Z", body))
+    digest = hashlib.md5(repr((sf_dir, len(recs))).encode()).hexdigest()[:8]
+    path = f"/tmp/pero_warc_{digest}.warc.gz"
+    if not os.path.exists(path):
+        with open(path, "wb") as fh:
+            fh.write(make_warc(recs, compress=True))
+    from pero_ocr_ray.sources.warc import read_warc
+    return (extract_pipeline(read_warc(path), concurrency=2)
+            .select_columns(["url", "extracted_text"]))
+
+
+def _q_refine(sf_dir: str):
+    from pero_ocr_ray.stages.refine import refine
+    return (refine(_extract(sf_dir, "cases"), concurrency=2)
+            .select_columns(["url", "refined_text"]))
+
+
+def _q_merge_linewise(sf_dir: str):
+    from pero_ocr_ray.pipelines.merge import merge_results_linewise
+    a = _extract(sf_dir, "simple")
+    return merge_results_linewise([a])
+
+
+def _q_image_features(sf_dir: str):
+    """Multimodal plumbing over deterministic fake image payloads."""
+    from pero_ocr_ray.stages.multimodal import image_features, make_fake_image
+    import pyarrow as pa
+    ids = list(range(200))
+    tbl = pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "image": pa.array([make_fake_image(16, 12, 3, seed=i) for i in ids],
+                          pa.binary()),
+    })
+    return image_features(rd.from_arrow(tbl), concurrency=2)
+
+
+def _q_audio_features(sf_dir: str):
+    from pero_ocr_ray.stages.multimodal import audio_features, make_fake_audio
+    import numpy as np
+    import pyarrow as pa
+    rows = []
+    for i in range(100):
+        t = np.arange(4000)
+        wave = (np.sin(2 * np.pi * (100 + i) * t / 8000) * 12000).astype(np.int16)
+        rows.append(make_fake_audio(8000, wave))
+    tbl = pa.table({"item_id": pa.array(list(range(100)), pa.int64()),
+                    "audio": pa.array(rows, pa.binary())})
+    return audio_features(rd.from_arrow(tbl), concurrency=2)
+
+
 def _q_page_quality(sf_dir: str):
     from pero_ocr_ray.functions.quality import page_quality
     return page_quality(_extract(sf_dir, "cases"))
@@ -320,6 +384,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_lines": _q_extract_lines,
         "events_sliding": _q_events_sliding,
         "ivf_knn": _q_ivf_knn,
+        "warc_extract": _q_warc_extract,
+        "refine_dehyphenate": _q_refine,
+        "merge_linewise": _q_merge_linewise,
+        "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
     }
 
 
@@ -424,6 +493,10 @@ def oracle_sql() -> dict[str, str]:
         "customer_segment_counts": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
             FROM customer GROUP BY c_mktsegment""",
+        "warc_extract": f"""
+            SELECT 'https://warc.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                   {_CANON_SQL} AS extracted_text
+            FROM documents WHERE doc_id < 200""",
         "events_sliding": """
             WITH w AS (
                 SELECT event_type,
