@@ -44,12 +44,21 @@ def _pages(sf_dir: str, template: str):
     return rd.from_arrow(pages).repartition(max(2, pages.num_rows // 64))
 
 
+def _query_pool() -> int:
+    """Pool size for query-path pipelines: a quarter of the cluster.
+
+    Queries like merge_best compose TWO actor-pool pipelines feeding a
+    groupby; pools sized above cpus//4 can reserve every CPU and starve the
+    shuffle tasks (observed deadlocks at 4 and 8 cpus)."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(2, cpus // 4))
+
+
 def _extract(sf_dir: str, template: str, mode: str = "fused"):
     from pero_ocr_ray.pipelines.extract import extract_pipeline
-    # concurrency 2: correctness-gate inputs are small, and queries like
-    # merge_best compose TWO pipelines — larger pools can reserve every CPU
-    # and starve the downstream groupby tasks (observed deadlock at 8 cpus)
-    return extract_pipeline(_pages(sf_dir, template), mode=mode, concurrency=2)
+    return extract_pipeline(_pages(sf_dir, template), mode=mode,
+                            concurrency=_query_pool())
 
 
 def entry() -> Any:
@@ -305,13 +314,13 @@ def _q_warc_extract(sf_dir: str):
         with open(path, "wb") as fh:
             fh.write(make_warc(recs, compress=True))
     from pero_ocr_ray.sources.warc import read_warc
-    return (extract_pipeline(read_warc(path), concurrency=2)
+    return (extract_pipeline(read_warc(path), concurrency=_query_pool())
             .select_columns(["url", "extracted_text"]))
 
 
 def _q_refine(sf_dir: str):
     from pero_ocr_ray.stages.refine import refine
-    return (refine(_extract(sf_dir, "cases"), concurrency=2)
+    return (refine(_extract(sf_dir, "cases"), concurrency=_query_pool())
             .select_columns(["url", "refined_text"]))
 
 
