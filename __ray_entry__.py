@@ -293,6 +293,50 @@ def _q_extract_lines(sf_dir: str):
     return explode_lines(_extract(sf_dir, "simple"))
 
 
+def _q_approx_distinct_tokens(sf_dir: str):
+    """HLL approximate distinct-token count over documents (rows-only:
+    approximate by design; unit tests bound the error at <3%)."""
+    import pandas as pd
+    from pero_ocr_ray.functions.textstats import approx_distinct
+    out = approx_distinct(_docs(sf_dir), "text", tokenize=True)
+    return pd.DataFrame({"estimate": pd.Series([out["estimate"]], dtype="int64"),
+                         "sketches_merged": pd.Series([out["sketches_merged"]],
+                                                      dtype="int64")})
+
+
+def _q_asof_purchase_view(sf_dir: str):
+    """As-of join: each purchase event attributed to the user's most recent
+    prior (or simultaneous) view event."""
+    import pandas as pd
+    from pero_ocr_ray.functions.join import asof_join
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def only(kind):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.loc[df["event_type"] == kind,
+                          ["event_id", "user_id", "ts", "value"]]
+        return fn
+
+    purchases = ev.map_batches(only("purchase"), batch_format="pandas")
+    views = ev.map_batches(only("view"), batch_format="pandas")
+    joined = asof_join(purchases, views, key="user_id", ts="ts",
+                       right_cols=["value"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts": pd.to_datetime(df["ts"]).astype("datetime64[us]"),
+            "view_ts": pd.to_datetime(df["ts_right"]).astype("datetime64[us]"),
+            "view_value_cents": (pd.to_numeric(df["value_right"]) * 100
+                                 ).round().astype("int64"),
+        })
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
 def _q_warc_extract(sf_dir: str):
     """WARC-native input path: build a deterministic WARC from documents,
     read it with the stdlib WARC source, extract (rows-only)."""
@@ -393,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_lines": _q_extract_lines,
         "events_sliding": _q_events_sliding,
         "ivf_knn": _q_ivf_knn,
+        "asof_purchase_view": _q_asof_purchase_view,
+        "approx_distinct_tokens": _q_approx_distinct_tokens,
         "warc_extract": _q_warc_extract,
         "refine_dehyphenate": _q_refine,
         "merge_linewise": _q_merge_linewise,
@@ -502,6 +548,12 @@ def oracle_sql() -> dict[str, str]:
         "customer_segment_counts": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
             FROM customer GROUP BY c_mktsegment""",
+        "asof_purchase_view": """
+            SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts,
+                   CAST(ROUND(v.value * 100) AS BIGINT) AS view_value_cents
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts""",
         "warc_extract": f"""
             SELECT 'https://warc.example/d/' || CAST(doc_id AS VARCHAR) AS url,
                    {_CANON_SQL} AS extracted_text

@@ -25,6 +25,68 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
                      on=(on,), right_on=(right_on or on,))
 
 
+def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
+              right_cols: list[str] | None = None,
+              suffix: str = "_right") -> rd.Dataset:
+    """As-of join: each left row matches the latest right row with the same
+    ``key`` and ``right.ts <= left.ts`` (backward search, the market-data /
+    event-attribution semantics; DuckDB's ``ASOF JOIN`` equivalent).
+
+    Shape: tag sides, align schemas, union, ONE hash shuffle on ``key``,
+    then ``pd.merge_asof`` over the ts-sorted group — the composition the
+    Dataset API can't express directly (SURVEY custom-operator rule (a)).
+    Partitioning assumption: one key's rows fit in one group; salt hot keys
+    upstream if not. Inner semantics: left rows with no prior right row are
+    dropped (matches SQL ASOF JOIN)."""
+    lcols = left.schema().names
+    rcols = right_cols or [c for c in right.schema().names
+                           if c not in (key, ts)]
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[lcols].copy()
+        out["__side"] = 0
+        for c in rcols:
+            out[c + suffix] = None
+        out[ts + suffix] = None
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key: df[key]})
+        out[ts] = df[ts]
+        out["__side"] = 1
+        for c in lcols:
+            if c not in (key, ts):
+                out[c] = None
+        for c in rcols:
+            out[c + suffix] = df[c]
+        out[ts + suffix] = df[ts]
+        return out[[*lcols, "__side",
+                    *[c + suffix for c in rcols], ts + suffix]]
+
+    unioned = (left.map_batches(tag_left, batch_format="pandas")
+               .union(right.map_batches(tag_right, batch_format="pandas")))
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][[*lcols]].sort_values(ts, kind="mergesort")
+        rsub = g[g["__side"] == 1]
+        empty = pd.DataFrame({c: pd.Series([], dtype="object")
+                              for c in [*lcols,
+                                        *[c + suffix for c in rcols],
+                                        ts + suffix]})
+        if lg.empty or rsub.empty:
+            return empty
+        rg = pd.DataFrame({ts: rsub[ts + suffix]})
+        for c in rcols:
+            rg[c + suffix] = rsub[c + suffix].values
+        rg[ts + suffix] = rsub[ts + suffix].values
+        rg = rg.sort_values(ts, kind="mergesort")
+        merged = pd.merge_asof(lg, rg, on=ts, direction="backward")
+        merged = merged.dropna(subset=[ts + suffix])  # inner semantics
+        return merged
+
+    return unioned.groupby(key).map_groups(join_group, batch_format="pandas")
+
+
 def grouped_join(left: rd.Dataset, right: rd.Dataset, on: str,
                  right_on: str | None = None) -> rd.Dataset:
     right_on = right_on or on

@@ -71,6 +71,29 @@ def content_hashes(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def approx_distinct(ds: rd.Dataset, column: str,
+                    tokenize: bool = False) -> dict:
+    """HLL approximate distinct count of ``column`` (or of its whitespace
+    tokens when ``tokenize``). One 4 KB sketch per batch, merged in a tiny
+    driver-side fold — no shuffle of raw values at any scale."""
+    from pero_ocr_ray.kernels import hll
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        sk = hll.empty_sketch()
+        if tokenize:
+            for text in df[column]:
+                hll.add_many(sk, K.TOKEN_RE.findall(text))
+        else:
+            hll.add_many(sk, (str(v) for v in df[column]))
+        return pd.DataFrame({"sketch": [hll.serialize(sk)]})
+
+    merged = hll.empty_sketch()
+    sketches = ds.map_batches(sketch_batch, batch_format="pandas").take_all()
+    for row in sketches:
+        merged = hll.merge(merged, hll.deserialize(row["sketch"]))
+    return {"estimate": hll.estimate(merged), "sketches_merged": len(sketches)}
+
+
 def fingerprints(ds: rd.Dataset) -> rd.Dataset:
     """-> (doc_id, fingerprint) rolling-hash document fingerprint."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:

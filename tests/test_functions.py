@@ -261,3 +261,58 @@ def test_sliding_window_counts():
     assert got == {("2023-12-31 23:00:00", 1),
                    ("2024-01-01 00:00:00", 2),
                    ("2024-01-01 01:00:00", 1)}
+
+
+def test_hll_accuracy_and_merge():
+    from pero_ocr_ray.kernels import hll
+    sk = hll.empty_sketch()
+    n = 50_000
+    hll.add_many(sk, (f"item-{i}" for i in range(n)))
+    est = hll.estimate(sk)
+    assert abs(est - n) / n < 0.03, est
+    # merge == union
+    a, b = hll.empty_sketch(), hll.empty_sketch()
+    hll.add_many(a, (f"x{i}" for i in range(10_000)))
+    hll.add_many(b, (f"x{i}" for i in range(5_000, 15_000)))  # 5k overlap
+    est_union = hll.estimate(hll.merge(a, b))
+    assert abs(est_union - 15_000) / 15_000 < 0.05
+    # serialize round trip
+    assert hll.estimate(hll.deserialize(hll.serialize(sk))) == est
+    # small-range exactness (linear counting)
+    small = hll.empty_sketch()
+    hll.add_many(small, (f"s{i}" for i in range(50)))
+    assert abs(hll.estimate(small) - 50) <= 2
+
+
+def test_approx_distinct_op():
+    from pero_ocr_ray.functions.textstats import approx_distinct
+    ds = rd.from_items([{"doc_id": i, "text": f"tok{i} tok{i%100} shared"}
+                        for i in range(2000)])
+    out = approx_distinct(ds, "doc_id")
+    assert abs(out["estimate"] - 2000) / 2000 < 0.05
+    toks = approx_distinct(ds, "text", tokenize=True)
+    # distinct tokens: 2000 tok{i} (100 of which repeat as tok{i%100}) + 'shared'
+    assert abs(toks["estimate"] - 2001) / 2001 < 0.05
+
+
+def test_asof_join_semantics():
+    from pero_ocr_ray.functions.join import asof_join
+    left = rd.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [7, 7, 8],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 12:00",
+                              "2024-01-01 09:00"]),
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "user_id": [7, 7, 8],
+        "ts": pd.to_datetime(["2024-01-01 09:30", "2024-01-01 11:00",
+                              "2024-01-01 09:30"]),
+        "value": [1.0, 2.0, 3.0],
+    }))
+    out = dataset_to_table(asof_join(left, right, "user_id", "ts",
+                                     right_cols=["value"])).to_pandas()
+    out = out.sort_values("event_id", ignore_index=True)
+    # event 1 -> 09:30 view (1.0); event 2 -> 11:00 (2.0);
+    # event 3 at 09:00 has no prior right row -> dropped (inner)
+    assert out["event_id"].tolist() == [1, 2]
+    assert [float(v) for v in out["value_right"]] == [1.0, 2.0]
