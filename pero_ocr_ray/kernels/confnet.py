@@ -76,6 +76,20 @@ def best_path(cn: list[dict[str | None, float]]) -> list[str]:
     return out
 
 
+def greedy_collapse(labels, blank=None) -> list:
+    """CTC-style greedy collapse (M15/M16 analog,
+    /root/reference/pero_ocr/char_confidences.py:4-26): drop repeats, then
+    drop blanks — the per-frame argmax -> symbol sequence reduction."""
+    out = []
+    prev = object()
+    for lab in labels:
+        if lab != prev:
+            if lab != blank:
+                out.append(lab)
+            prev = lab
+    return out
+
+
 def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
     """Numerically-stable softmax (M17 analog, ocr_engine/softmax.py:4-46)."""
     x = np.asarray(x, dtype=np.float64)

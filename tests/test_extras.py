@@ -344,3 +344,27 @@ def test_merge_results_linewise():
     key = lambda d: sorted(zip(d["url"], d["line_id"], d["line_text"]))
     assert key(merged) == key(flat)
     assert (merged["engine_rank"] == 0).all()  # ties pick engine 0
+
+
+def test_greedy_collapse():
+    from pero_ocr_ray.kernels.confnet import greedy_collapse
+    assert greedy_collapse(list("aabbbcc")) == ["a", "b", "c"]
+    assert greedy_collapse(["a", "-", "a", "a", "-", "b"], blank="-") == \
+        ["a", "a", "b"]
+    assert greedy_collapse([]) == []
+    assert greedy_collapse(["-", "-"], blank="-") == []
+
+
+def test_visual_order_op():
+    from pero_ocr_ray.functions.rtl import visual_order
+    from pero_ocr_ray.kernels.rtl import logical_to_visual
+    ar = "مرحبا بالعالم hello"
+    ds = rd.from_items([
+        {"url": "u1", "lang": "ar", "extracted_text": ar},
+        {"url": "u2", "lang": "en", "extracted_text": "plain english"},
+    ])
+    out = dataset_to_table(visual_order(ds)).to_pandas()
+    out = out.sort_values("url", ignore_index=True)
+    assert out.loc[0, "visual_text"] == logical_to_visual(ar)
+    assert out.loc[0, "extracted_text"] == ar  # logical order untouched
+    assert out.loc[1, "visual_text"] == "plain english"
