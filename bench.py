@@ -134,7 +134,9 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling(cl: int = 8, ch: int = 32) -> dict:
+def run_scaling(cl: int | None = None, ch: int | None = None) -> dict:
+    cl = cl or int(os.environ.get("BENCH_CPUS_LOW", "8"))
+    ch = ch or int(os.environ.get("BENCH_CPUS_HIGH", "32"))
     """Same job, fresh processes, two parallelism levels -> efficiency."""
     ensure_bench_pages(SF_DIR)  # build cache before timing anything
 
