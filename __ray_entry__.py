@@ -242,6 +242,11 @@ def _q_lang_counts(sf_dir: str):
     return lang_counts(_docs(sf_dir, ["lang"]))
 
 
+def _q_token_quantiles(sf_dir: str):
+    from pero_ocr_ray.functions.relational import token_quantiles_by_lang
+    return token_quantiles_by_lang(_docs(sf_dir, ["lang", "text"]))
+
+
 def _q_sessionize(sf_dir: str):
     from pero_ocr_ray.functions.windows import sessionize
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -439,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": _q_ivf_knn,
         "asof_purchase_view": _q_asof_purchase_view,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
+        "token_quantiles_by_lang": _q_token_quantiles,
         "warc_extract": _q_warc_extract,
         "refine_dehyphenate": _q_refine,
         "merge_linewise": _q_merge_linewise,
@@ -548,6 +554,17 @@ def oracle_sql() -> dict[str, str]:
         "customer_segment_counts": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
             FROM customer GROUP BY c_mktsegment""",
+        "token_quantiles_by_lang": r"""
+            WITH t AS (
+                SELECT lang,
+                       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                           AS n_tokens
+                FROM documents)
+            SELECT lang,
+                   CAST(quantile_disc(n_tokens, 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(n_tokens, 0.50) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_tokens, 0.90) AS BIGINT) AS p90
+            FROM t GROUP BY lang""",
         "asof_purchase_view": """
             SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts,
                    CAST(ROUND(v.value * 100) AS BIGINT) AS view_value_cents

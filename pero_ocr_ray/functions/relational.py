@@ -169,6 +169,40 @@ def customer_segment_counts(customer: rd.Dataset) -> rd.Dataset:
         batch_format="pandas")
 
 
+def _quantile_disc(sorted_vals: np.ndarray, q: float) -> int:
+    """DuckDB quantile_disc semantics: sorted[ceil(q*n) - 1] (verified)."""
+    import math
+    n = len(sorted_vals)
+    return int(sorted_vals[max(0, math.ceil(q * n) - 1)])
+
+
+def token_quantiles_by_lang(documents: rd.Dataset) -> rd.Dataset:
+    """Exact discrete quantiles of per-doc token counts, grouped by lang.
+
+    The distributional-aggregate shape: a cheap vectorized feature map,
+    then per-group exact quantiles inside ``map_groups`` (one shuffle keyed
+    on lang). Semantics match DuckDB ``quantile_disc`` exactly."""
+    from pero_ocr_ray.kernels.textstats import TOKEN_RE
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "n_tokens": df["text"].str.count(TOKEN_RE).astype("int64"),
+        })
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["n_tokens"].to_numpy())
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "p25": pd.Series([_quantile_disc(v, 0.25)], dtype="int64"),
+            "p50": pd.Series([_quantile_disc(v, 0.50)], dtype="int64"),
+            "p90": pd.Series([_quantile_disc(v, 0.90)], dtype="int64"),
+        })
+
+    return (documents.map_batches(feats, batch_format="pandas")
+            .groupby("lang").map_groups(quantiles, batch_format="pandas"))
+
+
 def lang_counts(documents: rd.Dataset) -> rd.Dataset:
     """Documents per lang (partial count then tiny groupby)."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
