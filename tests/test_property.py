@@ -124,3 +124,18 @@ def test_warc_dataset_is_dedupable():
     assert survivors.num_rows == 2
     by_url = {r["url"]: r for r in survivors.to_pylist()}
     assert b"recrawl" in by_url["https://a.example/1"]["html"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                min_size=1, max_size=12, unique=True))
+def test_xy_cut_permutation_invariant(cells):
+    """Reading order must not depend on input order (determinism): feed the
+    same rects in two different orders, expect identical output."""
+    from pero_ocr_ray.kernels.order import xy_cut
+    rects = [(float(x), float(y), x + 0.9, y + 0.9, i)
+             for i, (x, y) in enumerate(cells)]
+    a = xy_cut(rects)
+    b = xy_cut(list(reversed(rects)))
+    assert a == b
+    assert sorted(a) == list(range(len(rects)))  # a permutation, no loss
