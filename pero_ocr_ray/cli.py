@@ -75,6 +75,12 @@ def cmd_compare(args) -> int:
         return rd.read_parquet(p)
 
     stats = compare_extractions(load(args.hyp), load(args.ref))
+    if args.confusions:
+        from pero_ocr_ray.functions.quality import confusion_counts
+        from pero_ocr_ray.util import dataset_to_table
+        top = dataset_to_table(confusion_counts(load(args.hyp), load(args.ref),
+                                                top_k=args.confusions))
+        stats["top_confusions"] = top.to_pylist()
     print(json.dumps(stats))
     return 0
 
@@ -104,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--hyp", required=True)
     cp.add_argument("--ref", required=True)
     cp.add_argument("--num-cpus", type=int, default=None)
+    cp.add_argument("--confusions", type=int, default=0,
+                    help="also report the top-N character confusions")
     cp.set_defaults(fn=cmd_compare)
 
     args = ap.parse_args(argv)

@@ -45,6 +45,64 @@ def _normalize_ws(text: str) -> str:
     return " ".join(text.split())
 
 
+def confusion_counts(a: rd.Dataset, b: rd.Dataset, top_k: int = 50,
+                     normalize: bool = True) -> rd.Dataset:
+    """Character confusion tallies between two runs joined on url — the
+    reference's confusion-Counter merge
+    (/root/reference/pero_ocr/error_summary.py:101-163) as partial+final:
+    per-doc alignment emits (hyp_char, ref_char, n) rows inside
+    ``map_batches``; one small groupby sums them; top_k by count.
+    Insertions/deletions appear with the empty string on one side."""
+    import ray
+    from pero_ocr_ray.kernels.align import levenshtein_alignment
+
+    ref_rows: dict[str, str] = {}
+    for r in b.select_columns(["url", "extracted_text"]).take_all():
+        prev = ref_rows.get(r["url"])
+        if prev is None or r["extracted_text"] > prev:
+            ref_rows[r["url"]] = r["extracted_text"]
+    ref_ref = ray.put(ref_rows)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        refs = ray.get(ref_ref)
+        counts: dict[tuple[str, str], int] = {}
+        for url, hyp in zip(df["url"], df["extracted_text"]):
+            ref = refs.get(url)
+            if ref is None:
+                continue
+            if normalize:
+                hyp, ref = _normalize_ws(hyp), _normalize_ws(ref)
+            if hyp == ref:
+                continue
+            for h_ch, r_ch in levenshtein_alignment(hyp, ref):
+                if h_ch != r_ch:
+                    key = (h_ch or "", r_ch or "")
+                    counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return pd.DataFrame({"pair": pd.Series([], dtype="object"),
+                                 "n_partial": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "pair": [f"{h}\x00{r}" for h, r in counts],
+            "n_partial": pd.Series(list(counts.values()), dtype="int64"),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = (a.map_batches(partial, batch_format="pandas")
+            .groupby("pair").aggregate(Sum("n_partial", alias_name="n")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["pair"].str.split("\x00", n=1, expand=True)
+        return pd.DataFrame({
+            "hyp_char": parts[0],
+            "ref_char": parts[1] if 1 in parts else "",
+            "n": df["n"].astype("int64"),
+        })
+
+    out = agg.map_batches(finalize, batch_format="pandas")
+    return (out.sort(["n", "hyp_char"], descending=[True, False])
+               .limit(top_k))
+
+
 def compare_extractions(a: rd.Dataset, b: rd.Dataset,
                         normalize: bool = True) -> dict:
     """Corpus CER/WER of run ``a`` (hyp) against run ``b`` (ref), joined on

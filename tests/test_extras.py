@@ -368,3 +368,18 @@ def test_visual_order_op():
     assert out.loc[0, "visual_text"] == logical_to_visual(ar)
     assert out.loc[0, "extracted_text"] == ar  # logical order untouched
     assert out.loc[1, "visual_text"] == "plain english"
+
+
+def test_confusion_counts():
+    from pero_ocr_ray.functions.quality import confusion_counts
+    a = rd.from_items([
+        {"url": "u1", "extracted_text": "the cat sat"},
+        {"url": "u2", "extracted_text": "dog runs"},
+    ])
+    b = rd.from_items([
+        {"url": "u1", "extracted_text": "the bat sat"},  # c->b substitution
+        {"url": "u2", "extracted_text": "dog runs"},     # identical
+    ])
+    out = dataset_to_table(confusion_counts(a, b)).to_pandas()
+    pairs = {(r["hyp_char"], r["ref_char"]): r["n"] for _, r in out.iterrows()}
+    assert pairs == {("c", "b"): 1}
