@@ -107,8 +107,9 @@ def compare_extractions(a: rd.Dataset, b: rd.Dataset,
                         normalize: bool = True) -> dict:
     """Corpus CER/WER of run ``a`` (hyp) against run ``b`` (ref), joined on
     url. Returns the aggregated stats dict (small driver-side result)."""
-    # duplicate urls in the reference run: keep the lexicographically largest
-    # text (deterministic regardless of row arrival order)
+    # duplicate urls (recrawls): BOTH sides collapse per url with the same
+    # deterministic rule — keep the lexicographically largest text — so the
+    # comparison is run-vs-run keyed by url and a self-compare is exactly 0.
     ref_rows: dict[str, str] = {}
     for r in b.select_columns(["url", "extracted_text"]).take_all():
         prev = ref_rows.get(r["url"])
@@ -116,6 +117,13 @@ def compare_extractions(a: rd.Dataset, b: rd.Dataset,
             ref_rows[r["url"]] = r["extracted_text"]
     import ray
     ref_ref = ray.put(ref_rows)
+
+    def collapse(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.sort_values("extracted_text").tail(1)
+                [["url", "extracted_text"]])
+
+    a = (a.select_columns(["url", "extracted_text"])
+          .groupby("url").map_groups(collapse, batch_format="pandas"))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         refs = ray.get(ref_ref)

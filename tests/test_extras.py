@@ -383,3 +383,14 @@ def test_confusion_counts():
     out = dataset_to_table(confusion_counts(a, b)).to_pandas()
     pairs = {(r["hyp_char"], r["ref_char"]): r["n"] for _, r in out.iterrows()}
     assert pairs == {("c", "b"): 1}
+
+
+def test_compare_self_zero_even_with_dup_urls():
+    from pero_ocr_ray.functions.quality import compare_extractions
+    from pero_ocr_ray.oracle import extract_table
+    from pero_ocr_ray.sources.pages import synthesize_pages
+    pages = synthesize_pages(36)  # includes dup_url rows
+    out = rd.from_arrow(extract_table(pages))
+    stats = compare_extractions(out, out)
+    assert stats["cer"] == 0.0 and stats["wer"] == 0.0
+    assert stats["n_docs"] == len(set(pages.column("url").to_pylist()))
