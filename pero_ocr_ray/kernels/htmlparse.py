@@ -37,12 +37,13 @@ BR_MARKER = "\n"  # appended as a zero-source-width piece
 
 
 class _Elem:
-    __slots__ = ("tag", "uid", "cells")
+    __slots__ = ("tag", "uid", "cells", "pushed_col")
 
     def __init__(self, tag: str, uid: int):
         self.tag = tag
         self.uid = uid
         self.cells = 0  # column containers opened directly under this element
+        self.pushed_col = False  # did this element push a col_ctx entry?
 
 
 class _BlockBuilder(HTMLParser):
@@ -73,6 +74,7 @@ class _BlockBuilder(HTMLParser):
             self.boiler_depth += 1
         if tag == "pre":
             self.pre_depth += 1
+        elem = _Elem(tag, uid)
         if self._is_column(tag, attrs):
             parent = self.stack[-1] if self.stack else None
             group_uid = parent.uid if parent is not None else -1
@@ -80,7 +82,8 @@ class _BlockBuilder(HTMLParser):
             if parent is not None:
                 parent.cells += 1
             self.col_ctx.append((group_uid, ordinal))
-        self.stack.append(_Elem(tag, uid))
+            elem.pushed_col = True
+        self.stack.append(elem)
 
     def _pop_one(self) -> None:
         elem = self.stack.pop()
@@ -93,7 +96,7 @@ class _BlockBuilder(HTMLParser):
             self.boiler_depth = max(0, self.boiler_depth - 1)
         if tag == "pre":
             self.pre_depth = max(0, self.pre_depth - 1)
-        if self.col_ctx and self._was_column(elem):
+        if elem.pushed_col and self.col_ctx:
             self.col_ctx.pop()
 
     def _is_column(self, tag: str, attrs) -> bool:
@@ -104,13 +107,6 @@ class _BlockBuilder(HTMLParser):
                 if k == "class" and v and "col" in v.split():
                     return True
         return False
-
-    def _was_column(self, elem: _Elem) -> bool:
-        # col_ctx entries are pushed/popped in lockstep with column elements;
-        # a td/th always is one, a div is one iff it produced the top entry.
-        if elem.tag in ("td", "th"):
-            return True
-        return elem.tag == "div" and bool(self.col_ctx)
 
     # -- block lifecycle ---------------------------------------------------
     def _open_block(self) -> None:

@@ -13,7 +13,10 @@ compute. Never calls ``ray.init``/``ray.shutdown`` (driver owns the session).
 from __future__ import annotations
 
 import functools
+import hashlib
 import os
+
+import numpy as np
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -56,12 +59,16 @@ def dedup_pages(ds: rd.Dataset) -> rd.Dataset:
     def keep_latest(group: pa.Table) -> pa.Table:
         if group.num_rows == 1:
             return group
-        ts = group.column("warc_ts")
-        rid = (group.column("row_id") if "row_id" in group.column_names
-               else pa.chunked_array([pa.array(range(group.num_rows), pa.int64())]))
-        order = sorted(range(group.num_rows),
-                       key=lambda i: (ts[i].as_py(), rid[i].as_py()))
-        return group.take([order[-1]])
+        if "row_id" in group.column_names:
+            keys = group.select(["warc_ts", "row_id"])
+        else:
+            keys = pa.table({
+                "warc_ts": group.column("warc_ts"),
+                "row_id": pa.array(range(group.num_rows), pa.int64()),
+            })
+        idx = pc.sort_indices(keys, sort_keys=[("warc_ts", "ascending"),
+                                               ("row_id", "ascending")])
+        return group.take(idx[-1:])
 
     return ds.groupby("url").map_groups(keep_latest, batch_format="pyarrow")
 
@@ -71,10 +78,12 @@ def add_size_buckets(ds: rd.Dataset, edges=(4096, 65536, 1 << 20)) -> rd.Dataset
     /root/reference/pero_ocr/ocr_engine/line_ocr_engine.py:79-92): heavy
     rows group together so parse batches have homogeneous cost."""
     def bucketize(batch: pa.Table) -> pa.Table:
-        lens = pc.binary_length(batch.column("html"))
-        bucket = pa.array([sum(1 for e in edges if v >= e) if v is not None else 0
-                           for v in lens.to_pylist()], pa.int32())
-        return batch.append_column("size_bucket", bucket)
+        lens = pc.fill_null(pc.binary_length(batch.column("html")), 0)
+        bucket = pa.array(np.zeros(batch.num_rows, np.int32), pa.int32())
+        for e in edges:
+            bucket = pc.add(bucket, pc.cast(pc.greater_equal(lens, e),
+                                            pa.int32()))
+        return batch.append_column("size_bucket", pc.cast(bucket, pa.int32()))
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
@@ -123,16 +132,33 @@ def extract_pipeline(ds: rd.Dataset, cfg: ExtractConfig = DEFAULT_CONFIG,
 # ---------------------------------------------------------------------------
 
 
+def _partition_key(paths: list[str]) -> str:
+    """Content-derived partition key: stable under reordering / insertion of
+    other input files (a positional ``part={pid}`` key silently skips or
+    mis-attributes work when the file list changes between runs)."""
+    norm = [os.path.abspath(p) for p in paths]
+    digest = hashlib.md5("\n".join(norm).encode()).hexdigest()[:10]
+    stem = os.path.splitext(os.path.basename(paths[0]))[0]
+    stem = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in stem)[:40]
+    return f"part-{stem}-{digest}" if len(paths) == 1 else \
+        f"part-{stem}+{len(paths) - 1}-{digest}"
+
+
 def run_job(input_paths: list[str] | str, out_dir: str,
             cfg: ExtractConfig = DEFAULT_CONFIG, mode: str = "fused",
             concurrency: int | None = None,
-            fail_after: int | None = None) -> dict:
+            fail_after: int | None = None,
+            files_per_partition: int = 1) -> dict:
     """Run extraction over input parquet files as resumable partitions.
 
-    One partition = one input file (at 100 TB: one input shard). Finished
-    partitions are recorded in ``out_dir/_manifest/``; a rerun skips them
-    (the reference's skip-processed semantics). Output files are written to a
-    temp dir and renamed into place so partial writes are invisible.
+    One partition = ``files_per_partition`` input files (at 100 TB: input
+    shards are small, so grouping K files per committed partition amortizes
+    the per-partition pipeline barrier). Finished partitions are recorded in
+    ``out_dir/_manifest/``; a rerun skips them (the reference's
+    skip-processed semantics). Partition keys derive from the source paths,
+    not list position, so edits to the input list never mis-attribute
+    committed work. Output files are written to a temp dir and renamed into
+    place so partial writes are invisible.
 
     ``fail_after``: test hook — raise after committing that many partitions.
     """
@@ -143,16 +169,18 @@ def run_job(input_paths: list[str] | str, out_dir: str,
                 if f.endswith(".parquet"))
         else:
             input_paths = [input_paths]
+    k = max(1, files_per_partition)
+    groups = [list(input_paths[i:i + k]) for i in range(0, len(input_paths), k)]
     manifest = Manifest(out_dir)
     done = manifest.completed()
-    stats = {"partitions_total": len(input_paths), "partitions_skipped": 0,
+    stats = {"partitions_total": len(groups), "partitions_skipped": 0,
              "partitions_done": 0, "rows": 0}
-    for pid, path in enumerate(input_paths):
-        key = f"part={pid:05d}"
+    for paths in groups:
+        key = _partition_key(paths)
         if key in done:
             stats["partitions_skipped"] += 1
             continue
-        ds = rd.read_parquet(path)
+        ds = rd.read_parquet(paths)
         out = extract_pipeline(ds, cfg, mode=mode, concurrency=concurrency)
         tmp = os.path.join(out_dir, f"_tmp_{key}")
         final = os.path.join(out_dir, key)
@@ -163,7 +191,7 @@ def run_job(input_paths: list[str] | str, out_dir: str,
             import shutil
             shutil.rmtree(final)
         os.rename(tmp, final)
-        manifest.commit(key, {"source_file": path, "rows": n_rows})
+        manifest.commit(key, {"source_files": paths, "rows": n_rows})
         stats["partitions_done"] += 1
         stats["rows"] += n_rows
         if fail_after is not None and stats["partitions_done"] >= fail_after:

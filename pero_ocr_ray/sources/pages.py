@@ -238,7 +238,10 @@ def pages_from_documents(documents: pa.Table, template: str = "simple") -> pa.Ta
     ``<article><p>…</p></article>`` (no boilerplate) so the extraction result
     is exactly the whitespace-canonicalized document text — SQL-expressible
     for the correctness oracle. ``template='cases'`` cycles the full case
-    catalog with the document text as the main-content payload.
+    catalog, seeded per ``doc_id``: the html payload is synthetic case
+    content (NOT the document text) sharing only the url/row_id keys — it
+    exists to exercise merge/compare plumbing across two runs of the same
+    url set, not to compare equal texts.
     """
     doc_ids = documents.column("doc_id").to_pylist()
     texts = documents.column("text").to_pylist()

@@ -21,6 +21,7 @@ from __future__ import annotations
 import datetime
 import gzip
 import io
+import os
 
 import pyarrow as pa
 
@@ -88,14 +89,28 @@ def read_warc(paths: list[str] | str, lang: str = "") -> rd.Dataset:
     (shard, record) like the reference's file-id scheme."""
     if isinstance(paths, str):
         paths = [paths]
+
+    def _norm(p: str) -> str:
+        # Ray may hand back scheme-stripped / normalized paths; normalize
+        # both sides so the shard-order lookup can't silently miss (a miss
+        # defaulting to 0 would collide row_id across WARC shards).
+        if "://" in p:
+            p = p.split("://", 1)[1]
+        return os.path.normpath(os.path.abspath(p))
+
     files = rd.read_binary_files(sorted(paths), include_paths=True)
-    order = {p: i for i, p in enumerate(sorted(paths))}
+    order = {_norm(p): i for i, p in enumerate(sorted(paths))}
 
     def explode(batch: pa.Table) -> pa.Table:
         urls, tss, htmls, langs, rids = [], [], [], [], []
         for path, data in zip(batch.column("path").to_pylist(),
                               batch.column("bytes").to_pylist()):
-            base = order.get(path, 0) * 1_000_000_000
+            idx = order.get(_norm(path))
+            if idx is None:
+                raise ValueError(
+                    f"WARC shard path {path!r} not in the input list — "
+                    "row_id lineage would be ambiguous")
+            base = idx * 1_000_000_000
             for j, rec in enumerate(parse_warc_bytes(data)):
                 urls.append(rec["url"])
                 tss.append(rec["warc_ts"])

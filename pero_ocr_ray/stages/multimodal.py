@@ -88,11 +88,13 @@ class ImageFeatureStage:
                 hists.append(hist.tolist())
                 embeds.append((hist @ self.proj).tolist())
                 errors.append("")
-            except NotImplementedError as e:
+            except Exception as e:
+                # skip-and-continue: truncated/corrupt payloads (ValueError
+                # from frombuffer/reshape) degrade to an error row too.
                 widths.append(0); heights.append(0); channels.append(0)
                 hists.append([0.0] * 16)
                 embeds.append([0.0] * self.EMBED_DIM)
-                errors.append(f"decode_unavailable: {e}")
+                errors.append(f"decode_failed: {type(e).__name__}: {e}")
         return pa.table({
             "item_id": pa.array(ids, pa.int64()),
             "width": pa.array(widths, pa.int32()),
@@ -119,9 +121,9 @@ class AudioFeatureStage:
                 rmss.append(float(np.sqrt(np.mean(xf ** 2))) if len(x) else 0.0)
                 zcrs.append(int(np.sum(np.abs(np.diff(np.signbit(xf))))))
                 errors.append("")
-            except NotImplementedError as e:
+            except Exception as e:
                 durs.append(0.0); rmss.append(0.0); zcrs.append(0)
-                errors.append(f"decode_unavailable: {e}")
+                errors.append(f"decode_failed: {type(e).__name__}: {e}")
         return pa.table({
             "item_id": pa.array(ids, pa.int64()),
             "duration_sec": pa.array(durs, pa.float64()),

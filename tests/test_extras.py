@@ -108,13 +108,18 @@ def test_image_feature_stage():
     rows = [{"item_id": i, "image": make_fake_image(8, 6, 3, seed=i)}
             for i in range(10)]
     rows.append({"item_id": 99, "image": b"\x89PNG not supported"})
+    # truncated FAKEIMG payload: header claims 8x6x3 but pixels are missing —
+    # must degrade to an error row, not kill the batch (skip-and-continue)
+    rows.append({"item_id": 100, "image": make_fake_image(8, 6, 3)[:20]})
     out = dataset_to_table(image_features(rd.from_items(rows))).to_pandas()
     out = out.sort_values("item_id", ignore_index=True)
     ok = out[out["item_id"] < 99]
     assert (ok["width"] == 8).all() and (ok["height"] == 6).all()
     assert all(abs(sum(h) - 1.0) < 1e-9 for h in ok["histogram"])
     png = out[out["item_id"] == 99].iloc[0]
-    assert "decode_unavailable" in png["error"] and png["width"] == 0
+    assert "decode_failed" in png["error"] and png["width"] == 0
+    trunc = out[out["item_id"] == 100].iloc[0]
+    assert "decode_failed" in trunc["error"] and trunc["width"] == 0
 
 
 def test_audio_feature_stage():
@@ -127,7 +132,7 @@ def test_audio_feature_stage():
     out = out.sort_values("item_id", ignore_index=True)
     assert out.loc[0, "duration_sec"] == pytest.approx(1.0)
     assert out.loc[0, "rms"] == pytest.approx(0.345, abs=0.05)
-    assert "decode_unavailable" in out.loc[1, "error"]
+    assert "decode_failed" in out.loc[1, "error"]
 
 
 def test_image_feature_determinism():

@@ -110,6 +110,15 @@ def test_column_containers():
     assert blocks[0]["col_group"] == blocks[1]["col_group"]
 
 
+def test_plain_div_inside_cell_keeps_col_ctx():
+    # A non-column <div> nested in a td must not pop the cell's col_ctx
+    # entry: the following <p> still belongs to the cell's column group.
+    blocks = parse_html("<table><tr><td><div>a</div><p>b</p></td></tr></table>")
+    assert [canonical_text(b) for b in blocks] == ["a", "b"]
+    assert blocks[1]["col_group"] == blocks[0]["col_group"] != -1
+    assert blocks[1]["col_ord"] == blocks[0]["col_ord"] == 0
+
+
 def test_table_cells_are_columns():
     blocks = parse_html("<table><tr><td>a</td><td>b</td></tr>"
                         "<tr><td>c</td></tr></table>")

@@ -117,4 +117,44 @@ def test_resume_after_failure(tmp_path, pages, golden):
     # manifest carries lineage + row counts
     recs = Manifest(out_dir).records()
     assert sum(r["rows"] for r in recs) == pages.num_rows
-    assert all("source_file" in r for r in recs)
+    assert all("source_files" in r for r in recs)
+
+
+def test_run_job_grouped_partitions(tmp_path, pages, golden):
+    """files_per_partition=2 groups 4 shards into 2 committed partitions and
+    produces the identical final table (amortized per-partition barrier)."""
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    import pyarrow.parquet as pq
+    n = pages.num_rows
+    paths = []
+    for k in range(4):
+        p = str(in_dir / f"shard_{k}.parquet")
+        pq.write_table(pages.slice(k * n // 4, n // 4), p)
+        paths.append(p)
+    stats = run_job(paths, out_dir, concurrency=2, files_per_partition=2)
+    assert stats["partitions_total"] == stats["partitions_done"] == 2
+    _assert_identical(dataset_to_table(read_job_output(out_dir)), golden)
+
+
+def test_run_job_keys_follow_source_paths(tmp_path, pages):
+    """Partition keys derive from source paths: inserting a new shard at the
+    front of the list must not skip it or re-run the committed one."""
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    import pyarrow.parquet as pq
+    n = pages.num_rows
+    p_b = str(in_dir / "shard_b.parquet")
+    pq.write_table(pages.slice(0, n // 2), p_b)
+    stats1 = run_job([p_b], out_dir, concurrency=2)
+    assert stats1["partitions_done"] == 1
+    # a new shard sorts BEFORE the committed one
+    p_a = str(in_dir / "shard_a.parquet")
+    pq.write_table(pages.slice(n // 2, n - n // 2), p_a)
+    stats2 = run_job([p_a, p_b], out_dir, concurrency=2)
+    assert stats2["partitions_skipped"] == 1   # shard_b stays committed
+    assert stats2["partitions_done"] == 1      # shard_a is processed
+    tbl = dataset_to_table(read_job_output(out_dir))
+    assert tbl.num_rows == n
