@@ -368,9 +368,53 @@ def _q_warc_extract(sf_dir: str):
 
 
 def _q_refine(sf_dir: str):
+    """Dehyphenation refine (A5 sequential-per-doc stage) over
+    deterministically line-broken text: every (word, word) pair of ≥2-char
+    lowercase words becomes 'word-\\nword'; the stage must rejoin them.
+    Construction keeps breaks non-adjacent, so the sequential line merge is
+    SQL-expressible as two global regex passes (see oracle)."""
+    import pandas as pd
+    from pero_ocr_ray.stages.refine import refine
+
+    def to_run(df: pd.DataFrame) -> pd.DataFrame:
+        urls = [f"https://site{d % 97}.example/d/{d}" for d in df["doc_id"]]
+        broken = df["text"].str.replace(
+            r"([a-z]{2,}) ([a-z]{2,})", "\\1-\n\\2", regex=True)
+        return pd.DataFrame({"url": urls, "extracted_text": broken})
+
+    run = _docs(sf_dir).map_batches(to_run, batch_format="pandas")
+    return (refine(run, concurrency=_query_pool())
+            .select_columns(["url", "refined_text"]))
+
+
+def _q_refine_cases(sf_dir: str):
+    """Refine over the full case-catalog extraction (rows-only: the cases
+    corpus itself is not SQL-expressible)."""
     from pero_ocr_ray.stages.refine import refine
     return (refine(_extract(sf_dir, "cases"), concurrency=_query_pool())
             .select_columns(["url", "refined_text"]))
+
+
+def _q_compare_runs_cer(sf_dir: str):
+    """Distributed CER comparison: extraction of the original pages vs a
+    vowel-stripped rerun, joined per url by ONE hash shuffle (union +
+    groupby(url)) — no driver-side materialization of either run. Returns
+    per-url char error counts; DuckDB cross-checks with levenshtein()."""
+    import pyarrow.compute as pc
+    from pero_ocr_ray.functions.quality import compare_runs
+    from pero_ocr_ray.pipelines.extract import extract_pipeline
+    from pero_ocr_ray.sources.pages import pages_from_documents
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    stripped = docs.set_column(
+        docs.column_names.index("text"), "text",
+        pc.replace_substring_regex(docs.column("text"), "[aeiou]", ""))
+    pages_b = pages_from_documents(stripped, "simple")
+    a = _extract(sf_dir, "simple")
+    b = extract_pipeline(
+        rd.from_arrow(pages_b).repartition(max(2, pages_b.num_rows // 64)),
+        concurrency=_query_pool())
+    return (compare_runs(a, b)
+            .select_columns(["url", "char_errors", "ref_chars"]))
 
 
 def _q_merge_linewise(sf_dir: str):
@@ -447,6 +491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles_by_lang": _q_token_quantiles,
         "warc_extract": _q_warc_extract,
         "refine_dehyphenate": _q_refine,
+        "refine_cases": _q_refine_cases,
+        "compare_runs_cer": _q_compare_runs_cer,
         "merge_linewise": _q_merge_linewise,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -456,6 +502,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _URL_SQL = "'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR)"
 _CANON_SQL = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
 _STOPWORD_SQL = r"\b(?:the|and|of|a|to|in|is|for|on|with)\b"
+
+
+def _lang_id_sql() -> str:
+    """Mirror of kernels.textstats.lang_id: per-lang distinct-word profile
+    scores, winner = alphabetically-first argmax if max > 0 else 'und'."""
+    from pero_ocr_ray.kernels.textstats import LANG_PROFILES
+    score_cols = []
+    for code in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[code]))
+        score_cols.append(
+            f"count(*) FILTER (WHERE w IN ({words})) AS {code}")
+    cases = []
+    codes = sorted(LANG_PROFILES)
+    mx = f"greatest({', '.join(codes)})"
+    for code in codes[:-1]:
+        cases.append(f"WHEN {code} = {mx} THEN '{code}'")
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(list_distinct(regexp_extract_all(lower(text),
+                                                           '[a-z]+'))) AS w
+            FROM documents),
+        s AS (SELECT doc_id, {', '.join(score_cols)} FROM w GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN COALESCE({mx}, 0) = 0 THEN 'und'
+                    {' '.join(cases)}
+                    ELSE '{codes[-1]}' END AS lang_pred
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"""
+
+
+_SIMHASH_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    h AS (SELECT doc_id, c,
+                 ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM wc),
+    b AS (SELECT doc_id, bit,
+                 SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN c ELSE -c END) AS acc
+          FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) bits
+          GROUP BY doc_id, bit),
+    s AS (SELECT doc_id,
+                 SUM(CASE WHEN acc > 0 THEN
+                       CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                            ELSE (1::BIGINT << bit) END
+                     ELSE 0 END) AS simhash
+          FROM b GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(CAST(s.simhash AS BIGINT), 0) AS simhash
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -483,6 +579,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
             FROM documents""",
         "doc_content_hash": "SELECT doc_id, md5(text) AS content_hash FROM documents",
+        "doc_lang_id": _lang_id_sql(),
+        "simhash_signatures": _SIMHASH_SQL,
+        "dedup_pages_latest": f"""
+            SELECT {_URL_SQL} AS url,
+                   CAST(CASE WHEN doc_id % 10 = 0 THEN doc_id + 1000000
+                             ELSE doc_id END AS BIGINT) AS row_id
+            FROM documents""",
+        "refine_dehyphenate": r"""
+            SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR)
+                       || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                   regexp_replace(
+                       regexp_replace(text, '([a-z]{2,}) ([a-z]{2,})',
+                                      '\1-' || chr(10) || '\2', 'g'),
+                       '([A-Za-z]{2,})-' || chr(10) || '([a-z]{2,})',
+                       '\1\2', 'g') AS refined_text
+            FROM documents""",
+        "compare_runs_cer": rf"""
+            WITH t AS (
+                SELECT {_URL_SQL} AS url,
+                       {_CANON_SQL} AS hyp,
+                       trim(regexp_replace(
+                            regexp_replace(text, '[aeiou]', '', 'g'),
+                            '\s+', ' ', 'g')) AS ref
+                FROM documents)
+            SELECT url,
+                   CAST(levenshtein(hyp, ref) AS BIGINT) AS char_errors,
+                   CAST(length(ref) AS BIGINT) AS ref_chars
+            FROM t""",
+        "merge_linewise": f"""
+            SELECT {_URL_SQL} AS url,
+                   'b0000l000' AS line_id,
+                   {_CANON_SQL} AS line_text,
+                   CAST(0 AS BIGINT) AS engine_rank
+            FROM documents""",
         "dedup_exact_groups": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
                    md5(text) AS content_hash,

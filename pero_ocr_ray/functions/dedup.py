@@ -193,6 +193,11 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) > MAX_BUCKET:
+            # same hot-bucket guard as MinHash _band_pairs: a degenerate
+            # 16-bit block key (e.g. thousands of near-empty docs) would go
+            # quadratic; keep the MAX_BUCKET smallest doc_ids (deterministic)
+            g = g.head(MAX_BUCKET)
         ids = g["doc_id"].tolist()
         shs = g["simhash"].tolist()
         out = {"doc_a": [], "doc_b": [], "hamming": []}

@@ -4,11 +4,14 @@
   of the reference's page confidence summary
   (/root/reference/pero_ocr/core/layout.py:778-847, power-mean over word
   confidences).
-* ``compare_extractions``: corpus CER/WER between two extraction runs —
-  the compare_txt / error_summary analog
+* ``compare_runs`` / ``compare_extractions``: corpus CER/WER between two
+  extraction runs — the compare_txt / error_summary analog
   (/root/reference/user_scripts/compare_txt.py:59-169,
-  pero_ocr/error_summary.py:101-163), as the classic partial+final shape:
-  per-doc stats in ``map_batches``, one tiny global aggregate.
+  pero_ocr/error_summary.py:101-163). Cluster-correct shape: tag both runs,
+  union, ONE hash shuffle keyed on url collapses duplicates and aligns
+  hyp↔ref inside the group, per-doc stats stream out, one tiny global
+  aggregate. Neither side is ever materialized on the driver — both runs
+  scale with the corpus.
 """
 
 from __future__ import annotations
@@ -18,7 +21,9 @@ import pandas as pd
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from pero_ocr_ray.kernels.align import levenshtein_distance
+from pero_ocr_ray.kernels.align import (
+    levenshtein_alignment, levenshtein_distance,
+)
 
 
 def power_mean(values: list[float], p: int = 6) -> float:
@@ -45,50 +50,124 @@ def _normalize_ws(text: str) -> str:
     return " ".join(text.split())
 
 
+def _tag_union(a: rd.Dataset, b: rd.Dataset) -> rd.Dataset:
+    """(url, extracted_text, side) union of two runs — the single-shuffle
+    input shared by the comparison operators."""
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "url": df["url"].astype("string").astype(object),
+                "extracted_text": df["extracted_text"],
+                "side": pd.Series([side] * len(df), dtype="int64"),
+            })
+        return fn
+    return (a.select_columns(["url", "extracted_text"])
+             .map_batches(tag(0), batch_format="pandas")
+             .union(b.select_columns(["url", "extracted_text"])
+                     .map_batches(tag(1), batch_format="pandas")))
+
+
+def _collapse_pair(g: pd.DataFrame) -> tuple[str, str] | None:
+    """Duplicate urls (recrawls) collapse on BOTH sides with the same
+    deterministic rule — keep the lexicographically largest text — so a
+    self-compare is exactly 0. Returns (hyp, ref) or None if either side
+    is absent (inner-join semantics)."""
+    hyps = g.loc[g["side"] == 0, "extracted_text"]
+    refs = g.loc[g["side"] == 1, "extracted_text"]
+    if hyps.empty or refs.empty:
+        return None
+    return hyps.max(), refs.max()
+
+
+def compare_runs(a: rd.Dataset, b: rd.Dataset,
+                 normalize: bool = True) -> rd.Dataset:
+    """Per-url error stats of run ``a`` (hyp) vs run ``b`` (ref) ->
+    (url, char_errors, ref_chars, word_errors, ref_words). One url-keyed
+    shuffle; streams at corpus scale."""
+    def per_url(g: pd.DataFrame) -> pd.DataFrame:
+        pair = _collapse_pair(g)
+        if pair is None:
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                **{c: pd.Series([], dtype="int64") for c in
+                   ("char_errors", "ref_chars", "word_errors", "ref_words")},
+            })
+        hyp, ref = pair
+        if normalize:
+            hyp, ref = _normalize_ws(hyp), _normalize_ws(ref)
+        return pd.DataFrame({
+            "url": [g["url"].iloc[0]],
+            "char_errors": pd.Series(
+                [levenshtein_distance(hyp, ref)], dtype="int64"),
+            "ref_chars": pd.Series([len(ref)], dtype="int64"),
+            "word_errors": pd.Series(
+                [levenshtein_distance(hyp.split(), ref.split())],
+                dtype="int64"),
+            "ref_words": pd.Series([len(ref.split())], dtype="int64"),
+        })
+
+    return _tag_union(a, b).groupby("url").map_groups(
+        per_url, batch_format="pandas")
+
+
+def compare_extractions(a: rd.Dataset, b: rd.Dataset,
+                        normalize: bool = True) -> dict:
+    """Corpus CER/WER of run ``a`` (hyp) against run ``b`` (ref), joined on
+    url. Returns the aggregated stats dict (small driver-side result; the
+    per-doc work is fully distributed — see :func:`compare_runs`)."""
+    per = compare_runs(a, b, normalize=normalize)
+
+    def add_count(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_docs"] = pd.Series([1] * len(df), dtype="int64")
+        return df
+
+    agg = (per.map_batches(add_count, batch_format="pandas")
+              .aggregate(Sum("char_errors"), Sum("ref_chars"),
+                         Sum("word_errors"), Sum("ref_words"), Sum("n_docs")))
+    out = {k.replace("sum(", "").replace(")", ""): (v or 0)
+           for k, v in (agg or {}).items()}
+    for k in ("char_errors", "ref_chars", "word_errors", "ref_words", "n_docs"):
+        out.setdefault(k, 0)
+    out["cer"] = (out["char_errors"] / out["ref_chars"]) if out["ref_chars"] else 0.0
+    out["wer"] = (out["word_errors"] / out["ref_words"]) if out["ref_words"] else 0.0
+    return out
+
+
 def confusion_counts(a: rd.Dataset, b: rd.Dataset, top_k: int = 50,
                      normalize: bool = True) -> rd.Dataset:
     """Character confusion tallies between two runs joined on url — the
     reference's confusion-Counter merge
-    (/root/reference/pero_ocr/error_summary.py:101-163) as partial+final:
-    per-doc alignment emits (hyp_char, ref_char, n) rows inside
-    ``map_batches``; one small groupby sums them; top_k by count.
-    Insertions/deletions appear with the empty string on one side."""
-    import ray
-    from pero_ocr_ray.kernels.align import levenshtein_alignment
-
-    ref_rows: dict[str, str] = {}
-    for r in b.select_columns(["url", "extracted_text"]).take_all():
-        prev = ref_rows.get(r["url"])
-        if prev is None or r["extracted_text"] > prev:
-            ref_rows[r["url"]] = r["extracted_text"]
-    ref_ref = ray.put(ref_rows)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        refs = ray.get(ref_ref)
+    (/root/reference/pero_ocr/error_summary.py:101-163). Per-url alignment
+    emits (hyp_char, ref_char, n) partials inside the url-keyed group; one
+    small groupby sums the tallies; top_k by count. Insertions/deletions
+    appear with the empty string on one side."""
+    def per_url(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"pair": pd.Series([], dtype=object),
+                              "n_partial": pd.Series([], dtype="int64")})
+        pair = _collapse_pair(g)
+        if pair is None:
+            return empty
+        hyp, ref = pair
+        if normalize:
+            hyp, ref = _normalize_ws(hyp), _normalize_ws(ref)
+        if hyp == ref:
+            return empty
         counts: dict[tuple[str, str], int] = {}
-        for url, hyp in zip(df["url"], df["extracted_text"]):
-            ref = refs.get(url)
-            if ref is None:
-                continue
-            if normalize:
-                hyp, ref = _normalize_ws(hyp), _normalize_ws(ref)
-            if hyp == ref:
-                continue
-            for h_ch, r_ch in levenshtein_alignment(hyp, ref):
-                if h_ch != r_ch:
-                    key = (h_ch or "", r_ch or "")
-                    counts[key] = counts.get(key, 0) + 1
+        for h_ch, r_ch in levenshtein_alignment(hyp, ref):
+            if h_ch != r_ch:
+                key = (h_ch or "", r_ch or "")
+                counts[key] = counts.get(key, 0) + 1
         if not counts:
-            return pd.DataFrame({"pair": pd.Series([], dtype="object"),
-                                 "n_partial": pd.Series([], dtype="int64")})
+            return empty
         return pd.DataFrame({
             "pair": [f"{h}\x00{r}" for h, r in counts],
             "n_partial": pd.Series(list(counts.values()), dtype="int64"),
         })
 
-    from ray.data.aggregate import Sum
-    agg = (a.map_batches(partial, batch_format="pandas")
-            .groupby("pair").aggregate(Sum("n_partial", alias_name="n")))
+    agg = (_tag_union(a, b).groupby("url")
+           .map_groups(per_url, batch_format="pandas")
+           .groupby("pair").aggregate(Sum("n_partial", alias_name="n")))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         parts = df["pair"].str.split("\x00", n=1, expand=True)
@@ -101,56 +180,3 @@ def confusion_counts(a: rd.Dataset, b: rd.Dataset, top_k: int = 50,
     out = agg.map_batches(finalize, batch_format="pandas")
     return (out.sort(["n", "hyp_char"], descending=[True, False])
                .limit(top_k))
-
-
-def compare_extractions(a: rd.Dataset, b: rd.Dataset,
-                        normalize: bool = True) -> dict:
-    """Corpus CER/WER of run ``a`` (hyp) against run ``b`` (ref), joined on
-    url. Returns the aggregated stats dict (small driver-side result)."""
-    # duplicate urls (recrawls): BOTH sides collapse per url with the same
-    # deterministic rule — keep the lexicographically largest text — so the
-    # comparison is run-vs-run keyed by url and a self-compare is exactly 0.
-    ref_rows: dict[str, str] = {}
-    for r in b.select_columns(["url", "extracted_text"]).take_all():
-        prev = ref_rows.get(r["url"])
-        if prev is None or r["extracted_text"] > prev:
-            ref_rows[r["url"]] = r["extracted_text"]
-    import ray
-    ref_ref = ray.put(ref_rows)
-
-    def collapse(group: pd.DataFrame) -> pd.DataFrame:
-        return (group.sort_values("extracted_text").tail(1)
-                [["url", "extracted_text"]])
-
-    a = (a.select_columns(["url", "extracted_text"])
-          .groupby("url").map_groups(collapse, batch_format="pandas"))
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        refs = ray.get(ref_ref)
-        rows = []
-        for url, hyp in zip(df["url"], df["extracted_text"]):
-            ref = refs.get(url)
-            if ref is None:
-                continue
-            if normalize:
-                hyp, ref = _normalize_ws(hyp), _normalize_ws(ref)
-            rows.append({
-                "char_errors": levenshtein_distance(hyp, ref),
-                "ref_chars": len(ref),
-                "word_errors": levenshtein_distance(hyp.split(), ref.split()),
-                "ref_words": len(ref.split()),
-                "n_docs": 1,
-            })
-        if not rows:
-            return pd.DataFrame({k: pd.Series([], dtype="int64") for k in
-                                 ("char_errors", "ref_chars", "word_errors",
-                                  "ref_words", "n_docs")})
-        return pd.DataFrame(rows)
-
-    agg = (a.map_batches(partial, batch_format="pandas")
-            .aggregate(Sum("char_errors"), Sum("ref_chars"),
-                       Sum("word_errors"), Sum("ref_words"), Sum("n_docs")))
-    out = {k.replace("sum(", "").replace(")", ""): v for k, v in agg.items()}
-    out["cer"] = (out["char_errors"] / out["ref_chars"]) if out.get("ref_chars") else 0.0
-    out["wer"] = (out["word_errors"] / out["ref_words"]) if out.get("ref_words") else 0.0
-    return out

@@ -67,8 +67,13 @@ def top_orders_by_revenue(customer: rd.Dataset, orders: rd.Dataset,
                           cutoff: str = "1995-03-15", k: int = 10) -> rd.Dataset:
     """TPC-H Q3-style: top-k orders by revenue for one customer segment.
 
-    Both joins are broadcast (customer keys, then filtered order keys) —
-    ``ray.put`` once, read inside each map task; lineitem streams."""
+    The customer side broadcasts (a segment's key set is genuinely small:
+    an int array ``ray.put`` once, read inside each map task). The
+    orders↔lineitem edge is a shuffle hash join on ``o_orderkey``: the
+    date-filtered orders side is O(|orders|) — broadcasting it was a driver
+    materialization that dies at scale — so lineitem revenue is first
+    pre-aggregated per orderkey (combiner: the shuffle moves per-key
+    partials), then joined with the filtered orders stream."""
     cutoff_ts = pd.Timestamp(cutoff)
     cust_ids = set(
         r["c_custkey"]
@@ -82,14 +87,10 @@ def top_orders_by_revenue(customer: rd.Dataset, orders: rd.Dataset,
         m = (df["o_orderdate"] < cutoff_ts) & df["o_custkey"].isin(ids)
         return df.loc[m, ["o_orderkey", "o_orderdate"]]
 
-    sel_orders = orders.map_batches(filter_orders, batch_format="pandas").take_all()
-    order_date = {r["o_orderkey"]: r["o_orderdate"] for r in sel_orders}
-    orders_ref = ray.put(order_date)
+    sel_orders = orders.map_batches(filter_orders, batch_format="pandas")
 
     def partial_rev(df: pd.DataFrame) -> pd.DataFrame:
-        od = ray.get(orders_ref)
-        m = (df["l_shipdate"] > cutoff_ts) & df["l_orderkey"].isin(od.keys())
-        df = df.loc[m]
+        df = df.loc[df["l_shipdate"] > cutoff_ts]
         rev = df["l_extendedprice"] * (1 - df["l_discount"])
         g = (df.assign(revenue=rev)
                .groupby("l_orderkey", as_index=False)["revenue"].sum())
@@ -98,23 +99,25 @@ def top_orders_by_revenue(customer: rd.Dataset, orders: rd.Dataset,
     agg = (lineitem.map_batches(partial_rev, batch_format="pandas")
            .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue")))
 
+    from pero_ocr_ray.functions.join import hash_join
+    joined = hash_join(agg, sel_orders, on="o_orderkey")
+
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["revenue", "o_orderkey"],
                               ascending=[False, True]).head(k)
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        od = ray.get(orders_ref)
         df = df.sort_values(["revenue", "o_orderkey"],
                             ascending=[False, True]).head(k)
         return pd.DataFrame({
             "o_orderkey": df["o_orderkey"].astype("int64"),
             "revenue_cents": (df["revenue"] * 100).round().astype("int64"),
-            "o_orderdate": [od[x] for x in df["o_orderkey"]],
+            "o_orderdate": df["o_orderdate"].values,
         })
 
-    return (agg.map_batches(local_topk, batch_format="pandas")
-               .repartition(1)
-               .map_batches(final_topk, batch_format="pandas", batch_size=None))
+    return (joined.map_batches(local_topk, batch_format="pandas")
+                  .repartition(1)
+                  .map_batches(final_topk, batch_format="pandas", batch_size=None))
 
 
 def suppliers_per_nation(supplier: rd.Dataset, nation: rd.Dataset) -> rd.Dataset:
@@ -138,7 +141,12 @@ def suppliers_per_nation(supplier: rd.Dataset, nation: rd.Dataset) -> rd.Dataset
 
 
 def distinct_brands(part: rd.Dataset) -> rd.Dataset:
-    """Distinct p_brand values (ds.unique — a shuffle)."""
+    """Distinct p_brand values (ds.unique — a shuffle).
+
+    NOTE: ``ds.unique`` collects the distinct set on the driver — only
+    valid for LOW-CARDINALITY columns (p_brand has 25 values). For
+    unbounded-cardinality keys use a groupby/aggregate that stays
+    distributed instead of this pattern."""
     import pyarrow as pa
     vals = sorted(part.unique("p_brand"))
     return rd.from_arrow(pa.table({"p_brand": pa.array(vals, pa.string())}))

@@ -151,23 +151,31 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 # -- SimHash ---------------------------------------------------------------
 
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over lowercase word tokens (count-weighted)."""
-    acc = np.zeros(64, dtype=np.int64)
+    """64-bit SimHash over lowercase word tokens (count-weighted).
+
+    Per-token hash = first 16 hex chars of md5 read as uint64; component
+    ``i`` of the signature is bit ``i`` of that hash ((h >> i) & 1). Both
+    choices are reproducible in ANSI SQL (DuckDB:
+    ``('0x' || substr(md5(w), 1, 16))::UBIGINT``), which is how the
+    correctness oracle cross-checks the signatures end-to-end."""
     counts: dict[str, int] = {}
     for w in SHINGLE_RE.findall(text.lower()):
         counts[w] = counts.get(w, 0) + 1
+    acc = np.zeros(64, dtype=np.int64)
+    one = np.uint64(1)
     for w, c in counts.items():
-        raw = w.encode("utf-8")
-        h = zlib.crc32(raw) | (zlib.crc32(raw + b"#2") << 32)
-        bits = np.unpackbits(
-            np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)).astype(np.int64)
+        h = np.uint64(int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16))
+        bits = ((h >> _BIT_IDX) & one).astype(np.int64)
         acc += (2 * bits - 1) * c
-    out = np.uint64(0)
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
 
 
 def hamming64(a: int, b: int) -> int:

@@ -101,6 +101,39 @@ def test_page_quality_and_compare():
     assert stats["n_docs"] == len(keep)
 
 
+def test_compare_path_stays_distributed():
+    """The run-comparison operators must never materialize a side on the
+    driver (take_all was the round-1 scale bug): the whole path is
+    map_batches/union/groupby."""
+    import inspect
+    from pero_ocr_ray.functions import quality
+    src = inspect.getsource(quality)
+    assert "take_all" not in src and "to_pandas" not in src
+
+
+def test_compare_runs_nonzero_and_join_semantics():
+    """compare_runs joins on url (inner), collapses duplicates, and computes
+    per-url errors distributed."""
+    a = rd.from_items([
+        {"url": "u1", "extracted_text": "abc def"},
+        {"url": "u1", "extracted_text": "abc xyz"},   # dup url: max text wins
+        {"url": "u2", "extracted_text": "hello"},
+        {"url": "only_a", "extracted_text": "zzz"},
+    ])
+    b = rd.from_items([
+        {"url": "u1", "extracted_text": "abc xyz"},
+        {"url": "u2", "extracted_text": "hallo"},
+        {"url": "only_b", "extracted_text": "qqq"},
+    ])
+    from pero_ocr_ray.functions.quality import compare_runs
+    out = (dataset_to_table(compare_runs(a, b)).to_pandas()
+           .set_index("url").sort_index())
+    assert list(out.index) == ["u1", "u2"]  # inner join on url
+    assert out.loc["u1", "char_errors"] == 0   # dup collapsed to 'abc xyz'
+    assert out.loc["u2", "char_errors"] == 1   # hello vs hallo
+    assert out.loc["u2", "ref_chars"] == 5
+
+
 # ---- multimodal -----------------------------------------------------------
 
 def test_image_feature_stage():

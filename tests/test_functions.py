@@ -140,6 +140,53 @@ def test_simhash_near_dup_pairs():
     assert (0, 100) in pairset and (0, 101) in pairset  # exact dups: hamming 0
 
 
+def test_simhash_degenerate_bucket_bounded():
+    """2000 near-empty docs share every 16-bit block (simhash 0) — the
+    MAX_BUCKET cap must keep the pair loop bounded (quadratic-in-512, not
+    quadratic-in-corpus) and still return the capped pair set."""
+    from pero_ocr_ray.functions.dedup import MAX_BUCKET, simhash_near_dup_pairs
+    docs = rd.from_items([{"doc_id": i, "text": ""} for i in range(2000)])
+    out = dataset_to_table(simhash_near_dup_pairs(docs, 3)).to_pandas()
+    # all capped docs are pairwise hamming-0: exactly C(MAX_BUCKET, 2) pairs
+    assert len(out) == MAX_BUCKET * (MAX_BUCKET - 1) // 2
+    assert out["doc_a"].max() < MAX_BUCKET  # deterministic smallest-id cap
+
+
+def test_simhash_matches_duckdb_oracle():
+    """The simhash kernel is bit-for-bit reproducible in SQL (md5 token
+    hash, little-endian bit index) — the property the correctness oracle
+    relies on."""
+    import duckdb
+    texts = ["the quick brown fox jumps over the lazy fox", "", "aaa bbb aaa",
+             "one two three four five six seven eight nine ten"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+                + ") t(doc_id, text)", texts)
+    sql = r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM d),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+        h AS (SELECT doc_id, c, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM wc),
+        b AS (SELECT doc_id, bit,
+                     SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN c ELSE -c END) AS acc
+              FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) bits
+              GROUP BY doc_id, bit),
+        s AS (SELECT doc_id,
+                     SUM(CASE WHEN acc > 0 THEN
+                           CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                                ELSE (1::BIGINT << bit) END
+                         ELSE 0 END) AS simhash
+              FROM b GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(CAST(s.simhash AS BIGINT), 0) AS simhash
+        FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"""
+    got = dict(con.execute(sql).fetchall())
+    for i, t in enumerate(texts):
+        expect = np.uint64(K.simhash64(t)).astype(np.int64).item()
+        assert got[i] == expect, (i, t)
+
+
 # ---- similarity -----------------------------------------------------------
 
 def test_knn_matches_numpy_bruteforce():
