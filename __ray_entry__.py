@@ -450,6 +450,46 @@ def _q_audio_features(sf_dir: str):
     return audio_features(rd.from_arrow(tbl), concurrency=2)
 
 
+def _q_page_xml_roundtrip(sf_dir: str):
+    """Real PAGE-XML interop (S2/W1): staged chain serializes the layout
+    state to PAGE-XML strings, parses them back, then emits — the result
+    must still match the SQL extraction oracle byte-for-byte."""
+    from pero_ocr_ray.pipelines.registry import build_from_spec
+    spec = [{"stage": "decode"}, {"stage": "parse"}, {"stage": "segment"},
+            {"stage": "classify", "concurrency": _query_pool()},
+            {"stage": "order"},
+            {"stage": "to_pagexml"}, {"stage": "from_pagexml"},
+            {"stage": "emit"}]
+    out = build_from_spec(_pages(sf_dir, "simple"), spec)
+    return out.select_columns(["url", "extracted_text"])
+
+
+def _q_alto_lines(sf_dir: str):
+    """ALTO writer + reader (W2/S3): serialize kept blocks to ALTO v2,
+    parse the word model back to a flat lines table."""
+    import functools
+    import pyarrow as pa
+    from pero_ocr_ray.pipelines.registry import build_from_spec
+    from pero_ocr_ray.sources.pagexml import alto_to_lines
+    spec = [{"stage": "decode"}, {"stage": "parse"}, {"stage": "segment"},
+            {"stage": "classify", "concurrency": _query_pool()},
+            {"stage": "order"}, {"stage": "to_alto"}]
+    with_alto = build_from_spec(_pages(sf_dir, "simple"), spec)
+
+    def explode(t: pa.Table) -> pa.Table:
+        urls, bids, texts = [], [], []
+        for xml in t.column("alto").to_pylist():
+            for ln in alto_to_lines(xml):
+                urls.append(ln["url"])
+                bids.append(ln["block_id"])
+                texts.append(ln["line_text"])
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "block_id": pa.array(bids, pa.string()),
+                         "line_text": pa.array(texts, pa.string())})
+
+    return with_alto.map_batches(explode, batch_format="pyarrow")
+
+
 def _q_page_quality(sf_dir: str):
     from pero_ocr_ray.functions.quality import page_quality
     return page_quality(_extract(sf_dir, "cases"))
@@ -483,6 +523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": _q_top_parts,
         "customer_segment_counts": _q_segment_counts,
         "page_quality": _q_page_quality,
+        "page_xml_roundtrip": _q_page_xml_roundtrip,
+        "alto_lines": _q_alto_lines,
         "extract_lines": _q_extract_lines,
         "events_sliding": _q_events_sliding,
         "ivf_knn": _q_ivf_knn,
@@ -612,6 +654,13 @@ def oracle_sql() -> dict[str, str]:
                    'b0000l000' AS line_id,
                    {_CANON_SQL} AS line_text,
                    CAST(0 AS BIGINT) AS engine_rank
+            FROM documents""",
+        "page_xml_roundtrip": f"""
+            SELECT {_URL_SQL} AS url, {_CANON_SQL} AS extracted_text
+            FROM documents""",
+        "alto_lines": f"""
+            SELECT {_URL_SQL} AS url, 'b0000' AS block_id,
+                   {_CANON_SQL} AS line_text
             FROM documents""",
         "dedup_exact_groups": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,

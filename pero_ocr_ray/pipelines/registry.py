@@ -67,6 +67,34 @@ def _fused(ds, cfg: ExtractConfig, concurrency: int = 2, **_):
                           concurrency=concurrency, num_cpus=1)
 
 
+@register_stage("to_pagexml")
+def _to_pagexml(ds, cfg: ExtractConfig, **_):
+    """Serialize the nested blocks state to real PAGE-XML strings (W1)."""
+    from pero_ocr_ray.sources.pagexml import to_pagexml_stage
+    return ds.map_batches(functools.partial(to_pagexml_stage, cfg=cfg),
+                          batch_format="pyarrow",
+                          batch_size=cfg.vector_batch_size)
+
+
+@register_stage("from_pagexml")
+def _from_pagexml(ds, cfg: ExtractConfig, **_):
+    """Parse PAGE-XML strings back into the nested blocks state (S2)."""
+    from pero_ocr_ray.sources.pagexml import from_pagexml_stage
+    return ds.map_batches(functools.partial(from_pagexml_stage, cfg=cfg),
+                          batch_format="pyarrow",
+                          batch_size=cfg.vector_batch_size)
+
+
+@register_stage("to_alto")
+def _to_alto(ds, cfg: ExtractConfig, min_line_confidence: float = 0.0, **_):
+    """Serialize kept blocks to ALTO v2 strings (W2)."""
+    from pero_ocr_ray.sources.pagexml import to_alto_stage
+    return ds.map_batches(
+        functools.partial(to_alto_stage, cfg=cfg,
+                          min_line_confidence=min_line_confidence),
+        batch_format="pyarrow", batch_size=cfg.vector_batch_size)
+
+
 @register_stage("checkpoint")
 def _checkpoint(ds, cfg: ExtractConfig, path: str = "", **_):
     """Write the current intermediate table to parquet and continue from the
