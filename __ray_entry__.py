@@ -417,6 +417,15 @@ def _q_compare_runs_cer(sf_dir: str):
             .select_columns(["url", "char_errors", "ref_chars"]))
 
 
+def _q_beam_decode(sf_dir: str):
+    """Prefix-beam decoding with bigram-LM fusion and per-document hidden
+    state carryover across lines (rows-only: the decode of an ambiguous
+    lattice is defined by the algorithm itself, not SQL-expressible).
+    Deterministic: hash-derived lattices, add-one bigram LM."""
+    from pero_ocr_ray.stages.beamdecode import beam_decode
+    return beam_decode(_docs(sf_dir), concurrency=_query_pool())
+
+
 def _q_merge_linewise(sf_dir: str):
     from pero_ocr_ray.pipelines.merge import merge_results_linewise
     a = _extract(sf_dir, "simple")
@@ -535,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "refine_dehyphenate": _q_refine,
         "refine_cases": _q_refine_cases,
         "compare_runs_cer": _q_compare_runs_cer,
+        "beam_decode_docs": _q_beam_decode,
         "merge_linewise": _q_merge_linewise,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,

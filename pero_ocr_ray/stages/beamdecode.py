@@ -1,0 +1,85 @@
+"""Beam-decode stage: per-document sequential decoding with LM carryover.
+
+The A5 analog of the reference's LM-fused page decoding
+(/root/reference/pero_ocr/document_ocr/page_parser.py:96-156): hidden LM
+state is threaded line-to-line WITHIN a document (``last_h`` carryover) and
+reset per document, so documents stay independently parallelizable — the
+property that lets this run as a plain actor-pool ``map_batches`` stage.
+
+The LM (a deterministic bigram over the corpus vocabulary) is built once
+per actor in ``__init__`` — the models-loaded-once engine shape
+(page_parser.py:457-483)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pero_ocr_ray.kernels.beam import (
+    BLANK, BigramCharLM, ctc_prefix_beam_decode, text_to_lattice,
+)
+
+DECODE_CHARS = "abcdefghijklmnopqrstuvwxyz "
+
+# deterministic seed corpus for the per-actor LM: the pages vocabulary
+# (sources/pages.py _WORDS) — the engine's documents draw from it
+_SEED_CORPUS = (
+    "data stream table merge sort filter batch query window group join key "
+    "row column value index scan shuffle block page text line word char span "
+    "order part small large fast slow deep wide open close read write "
+) * 4
+
+
+def split_lines(text: str, words_per_line: int = 8) -> list[str]:
+    """Deterministic line split for lattice decoding (the reference decodes
+    per detected text line; documents here carry flat text)."""
+    words = text.split(" ")
+    return [" ".join(words[i:i + words_per_line])
+            for i in range(0, len(words), words_per_line)] or [""]
+
+
+class BeamDecodeStage:
+    """Actor pool: (doc_id, text) -> (doc_id, decoded_text, confidence,
+    n_lines). The lattice is synthesized deterministically from the text
+    (hash-derived confusions); the beam+LM must undo the confusions."""
+
+    def __init__(self, k: int = 4, lm_scale: float = 0.8,
+                 noise: float = 0.35, chars: str = DECODE_CHARS):
+        self.letters = list(chars) + [BLANK]
+        self.lm = BigramCharLM(chars, _SEED_CORPUS)
+        self.k = k
+        self.lm_scale = lm_scale
+        self.noise = noise
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, texts, confs, nlines = [], [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            state = None  # per-document LM reset (last_h reset analog)
+            decoded, conf_min = [], 1.0
+            for j, line in enumerate(split_lines(text)):
+                lattice = text_to_lattice(line, self.letters, self.noise,
+                                          seed_salt=f"{did}:{j}")
+                bag, state = ctc_prefix_beam_decode(
+                    lattice, self.letters, self.k, lm=self.lm,
+                    lm_scale=self.lm_scale, init_state=state,
+                    return_state=True)
+                decoded.append(bag.best_hyp())
+                conf_min = min(conf_min, bag.confidence())
+            ids.append(did)
+            texts.append("\n".join(decoded))
+            confs.append(conf_min)
+            nlines.append(len(decoded))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "decoded_text": pa.array(texts, pa.string()),
+            "confidence": pa.array(confs, pa.float64()),
+            "n_lines": pa.array(nlines, pa.int64()),
+        })
+
+
+def beam_decode(ds, concurrency: int = 2, batch_size: int = 32,
+                **stage_kwargs):
+    return ds.map_batches(BeamDecodeStage,
+                          fn_constructor_kwargs=stage_kwargs,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
