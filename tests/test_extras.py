@@ -30,6 +30,100 @@ def test_logical_visual_involution():
     assert logical_to_visual(v) == s
 
 
+@pytest.mark.parametrize("word,expect", [
+    ("السلام", True),            # pure Arabic word
+    ("hello", False),
+    ("عليكم", True),
+    ("abcعلي", False),           # mixed word is NOT arabic (whole-word rule)
+    ("", False),
+    ("123", False),
+])
+def test_is_arabic_word_reference_cases(word, expect):
+    """Mirrors arabic_helper.py:135-144 (whole-word ^[arabic]+$ pattern)."""
+    from pero_ocr_ray.kernels.rtl import is_arabic_word
+    assert is_arabic_word(word) is expect
+
+
+@pytest.mark.parametrize("line,expect", [
+    ("السلام عليكم", True),
+    ("hello world", False),
+    ("hello السلام world", True),   # one fully-Arabic token suffices
+    ("abcعلي def", False),          # mixed tokens don't count
+    ("", False),
+])
+def test_is_arabic_line_reference_cases(line, expect):
+    """Mirrors arabic_helper.py:146-154 (any-word-hits rule)."""
+    from pero_ocr_ray.kernels.rtl import is_arabic_line
+    assert is_arabic_line(line) is expect
+
+
+def test_bidi_numbers_stay_ltr_inside_rtl():
+    """UAX#9 subset: digits embedded in an RTL run keep LTR digit order
+    (level 2 inside level 1) — naive run reversal would flip them."""
+    s = "قبل 123 بعد"
+    v = logical_to_visual(s)
+    assert "123" in v                      # digits not reversed
+    assert v == "دعب 123 لبق"             # R runs reversed around them
+    assert logical_to_visual(v) == s       # involution
+
+
+def test_bidi_neutrals_between_r_runs():
+    s = "سلام، عليكم"
+    v = logical_to_visual(s)
+    # the neutral stays inside the reversed RTL span: full reverse
+    assert v == s[::-1]
+    assert logical_to_visual(v) == s
+
+
+def test_bidi_latin_passthrough():
+    assert logical_to_visual("plain latin 123") == "plain latin 123"
+
+
+def test_bidi_involution_property():
+    """Involution over mixed strings (the reorder is its own inverse for
+    the ≤2-level structure this subset produces)."""
+    import random
+    rng = random.Random(7)
+    alphabet = "ab 12سلم،.x"
+    for _ in range(200):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 14)))
+        v = logical_to_visual(s)
+        assert sorted(v) == sorted(s)              # permutation only
+        assert logical_to_visual(v) == s, repr(s)  # involution
+
+
+def test_presentation_shaping_roundtrip():
+    """string_to_presentation / presentation_to_string — the reference's
+    string_to_label_form capability (contextual forms + lam-alef)."""
+    from pero_ocr_ray.kernels.rtl import (
+        presentation_to_string, string_to_presentation,
+    )
+    word = "سلام"  # seen + lam + alef + meem: initial, then lam-alef, final
+    shaped = string_to_presentation(word)
+    assert shaped != word
+    # lam-alef collapses two letters into one ligature glyph
+    assert len(shaped) == 3
+    assert presentation_to_string(shaped) == word
+    # isolated single letter
+    assert string_to_presentation("س") == "ﺱ"  # seen isolated
+    # right-joining letter (alef) never joins forward: following letter
+    # takes initial/isolated, not medial
+    two = string_to_presentation("اب")
+    assert presentation_to_string(two) == "اب"
+    # non-Arabic passthrough
+    assert string_to_presentation("abc") == "abc"
+    assert presentation_to_string("abc") == "abc"
+
+
+def test_presentation_contextual_forms():
+    from pero_ocr_ray.kernels.rtl import string_to_presentation
+    import unicodedata
+    # three dual-joining letters: initial + medial + final forms
+    shaped = string_to_presentation("ببب")
+    tags = [unicodedata.decomposition(c).split(">")[0][1:] for c in shaped]
+    assert tags == ["initial", "medial", "final"]
+
+
 # ---- confnet --------------------------------------------------------------
 
 def test_top_k():

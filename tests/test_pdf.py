@@ -1,0 +1,169 @@
+"""PDF font-decoding tests: ToUnicode CMaps (1/2-byte codes), CID/Type0
+hex strings, /Differences encodings, and the latin-1 fallback."""
+
+import zlib
+
+from pero_ocr_ray.kernels.emit import extract_document
+from pero_ocr_ray.kernels.pdfmini import (
+    _parse_cmap, parse_fonts, pdf_blocks,
+)
+from pero_ocr_ray.sources.pages import make_pdf
+
+
+def _assemble(objects: dict[int, bytes], body_of_page: bytes = b"") -> bytes:
+    out = [b"%PDF-1.4\n"]
+    for num in sorted(objects):
+        out.append(b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n")
+    out.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+def _stream_obj(head: bytes, data: bytes, compress: bool = False) -> bytes:
+    filt = b"/Filter /FlateDecode " if compress else b""
+    if compress:
+        data = zlib.compress(data)
+    return (b"<< " + head + filt + b"/Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream")
+
+
+def make_cid_pdf(text: str, compress_cmap: bool = False) -> bytes:
+    """Type0 font, 2-byte codes 0x0100.., ToUnicode bfchar CMap."""
+    chars = sorted(set(text))
+    code_of = {c: 0x0100 + i for i, c in enumerate(chars)}
+    bfchars = "\n".join(f"<{code_of[c]:04X}> <{ord(c):04X}>" for c in chars)
+    cmap = (f"""/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+{len(chars)} beginbfchar
+{bfchars}
+endbfchar
+endcmap
+end""").encode()
+    hex_codes = "".join(f"{code_of[c]:04X}" for c in text)
+    content = f"BT\n/F1 12 Tf\n<{hex_codes}> Tj\nET".encode()
+    return _assemble({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: _stream_obj(b"", content),
+        5: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+            b"/ToUnicode 6 0 R >>"),
+        6: _stream_obj(b"", cmap, compress=compress_cmap),
+    })
+
+
+def make_bfrange_pdf(text: str) -> bytes:
+    """1-byte codes shifted by +1, mapped back via a single bfrange."""
+    codes = bytes((ord(c) + 1) & 0xFF for c in text)
+    cmap = b"""begincodespacerange
+<00> <FF>
+endcodespacerange
+1 beginbfrange
+<21> <7F> <0020>
+endbfrange"""
+    content = b"BT\n/F1 12 Tf\n(" + codes.replace(b"\\", rb"\\")
+    content = (content.replace(b"(", rb"\(").replace(b")", rb"\)")
+               .removeprefix(b"BT\n/F1 12 Tf\n(") )
+    content = b"BT\n/F1 12 Tf\n(" + content + b") Tj\nET"
+    return _assemble({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: _stream_obj(b"", content),
+        5: b"<< /Type /Font /Subtype /TrueType /ToUnicode 6 0 R >>",
+        6: _stream_obj(b"", cmap),
+    })
+
+
+def make_differences_pdf() -> bytes:
+    """Simple font remapping codes 65/66/67 -> e-acute, space, 'x'."""
+    content = b"BT\n/F1 12 Tf\n(ABCA) Tj\nET"
+    return _assemble({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: _stream_obj(b"", content),
+        5: (b"<< /Type /Font /Subtype /Type1 /Encoding << /Type /Encoding "
+            b"/Differences [ 65 /eacute /space /x ] >> >>"),
+    })
+
+
+def test_cid_pdf_extracts_real_text():
+    raw = make_cid_pdf("hello cid world")
+    blocks, err = pdf_blocks(raw)
+    assert err == ""
+    assert [t for t, _ in blocks[0]["pieces"]] == ["hello cid world"]
+
+
+def test_cid_pdf_with_compressed_cmap():
+    raw = make_cid_pdf("compressed cmap text", compress_cmap=True)
+    blocks, _ = pdf_blocks(raw)
+    assert blocks[0]["pieces"][0][0] == "compressed cmap text"
+
+
+def test_cid_pdf_through_full_extraction():
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    out = extract_document("u", make_cid_pdf(text))
+    assert out["payload_kind"] == "pdf"
+    assert out["extracted_text"] == text
+    assert out["error"] == ""
+
+
+def test_bfrange_shifted_codes():
+    text = "Shifted range!"
+    blocks, err = pdf_blocks(make_bfrange_pdf(text))
+    assert err == ""
+    assert blocks[0]["pieces"][0][0] == text
+
+
+def test_differences_encoding():
+    blocks, err = pdf_blocks(make_differences_pdf())
+    assert err == ""
+    assert blocks[0]["pieces"][0][0] == "é xé"
+
+
+def test_font_without_mapping_falls_back_latin1():
+    """No ToUnicode / no Differences: byte-identical to the old behavior."""
+    raw = make_pdf(["plain latin-1 text", "second line"], compress=True)
+    blocks, err = pdf_blocks(raw)
+    assert err == ""
+    texts = [t for t, _ in blocks[0]["pieces"]]
+    assert "plain latin-1 text" in texts and "second line" in texts
+
+
+def test_unknown_code_degrades_not_crashes():
+    """Codes missing from the CMap degrade to chr(code)/replacement, the
+    skip-and-continue contract."""
+    raw = make_cid_pdf("ab")
+    # splice in a code the CMap doesn't know (0x0FFF)
+    raw = raw.replace(b"> Tj", b"0FFF> Tj")
+    blocks, err = pdf_blocks(raw)
+    assert err == ""
+    assert blocks[0]["pieces"][0][0].startswith("ab")
+
+
+def test_parse_cmap_widths_and_ranges():
+    cmap, width = _parse_cmap(b"""begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0041> <0061>
+<0042> <0062>
+endbfchar
+1 beginbfrange
+<0050> <0052> [<0078> <0079> <007A>]
+endbfrange""")
+    assert width == 2
+    assert cmap[0x41] == "a" and cmap[0x42] == "b"
+    assert cmap[0x50] == "x" and cmap[0x51] == "y" and cmap[0x52] == "z"
+
+
+def test_parse_fonts_resolves_resources():
+    fonts = parse_fonts(make_cid_pdf("xy"))
+    assert "F1" in fonts and fonts["F1"].code_bytes == 2
