@@ -177,6 +177,26 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_near_dup_pairs(_docs(sf_dir), threshold=0.7)
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (LSH candidates + exact shingle
+    verify). Near-dups injected deterministically (docs 0..9 duplicated
+    with a 3-word tail) so the pair set is non-empty; the DuckDB oracle
+    recomputes exact trigram Jaccard from scratch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pero_ocr_ray.functions.dedup import jaccard_near_dup_pairs
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    head = tbl.filter(pc.less(tbl.column("doc_id"), 10))
+    mod = pc.binary_join_element_wise(
+        head.column("text"), pa.scalar(" extra tail words"), pa.scalar(""))
+    dups = pa.table({"doc_id": pc.add(head.column("doc_id"),
+                                      pa.scalar(1_000_000, pa.int64())),
+                     "text": mod})
+    both = pa.concat_tables([tbl, dups])
+    return jaccard_near_dup_pairs(rd.from_arrow(both), threshold=0.6)
+
+
 def _q_simhash_sigs(sf_dir: str):
     from pero_ocr_ray.functions.dedup import simhash_signatures
     return simhash_signatures(_docs(sf_dir))
@@ -519,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact_groups": _q_dedup_exact,
         "minhash_near_dup_pairs": _q_minhash_pairs,
+        "jaccard_near_dup_pairs": _q_jaccard_pairs,
         "simhash_signatures": _q_simhash_sigs,
         "knn_cosine": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -632,6 +653,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "doc_content_hash": "SELECT doc_id, md5(text) AS content_hash FROM documents",
         "doc_lang_id": _lang_id_sql(),
+        "jaccard_near_dup_pairs": """
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' extra tail words'
+                FROM documents WHERE doc_id < 10),
+            t AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                  FROM docs2),
+            tok AS (SELECT doc_id, unnest(toks) AS w,
+                           generate_subscripts(toks, 1) AS i FROM t),
+            tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                    FROM tok a
+                    JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                    JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            shd AS (SELECT DISTINCT doc_id, s FROM tri),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                             count(*) AS i
+                      FROM shd x JOIN shd y
+                        ON x.s = y.s AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2)
+            SELECT inter.doc_a, inter.doc_b,
+                   CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.doc_a
+            JOIN sizes sb ON sb.doc_id = inter.doc_b
+            WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= 0.6""",
         "simhash_signatures": _SIMHASH_SQL,
         "dedup_pages_latest": f"""
             SELECT {_URL_SQL} AS url,

@@ -155,6 +155,84 @@ def minhash_dedup_drop_ids(ds: rd.Dataset, threshold: float = 0.7,
     return dropped.groupby("doc_id").map_groups(uniq, batch_format="pandas")
 
 
+# -- exact n-gram Jaccard --------------------------------------------------
+
+
+def _shingle_digest_col(df: pd.DataFrame, k: int) -> pa.Table:
+    """(doc_id, digests): md5-64bit digests of the distinct word shingles,
+    packed as one binary blob per doc (Acero hash joins carry binary
+    payload columns but not list columns). Digest-set Jaccard equals
+    string-set Jaccard up to md5 collisions (2^-64 — far below the float
+    printing precision of the gate)."""
+    import hashlib
+    out_ids, out_digs = [], []
+    for did, text in zip(df["doc_id"], df["text"]):
+        digs = np.sort(np.frombuffer(
+            b"".join(hashlib.md5(s.encode("utf-8")).digest()[:8]
+                     for s in sorted(K.word_shingles(text, k))),
+            dtype=np.int64))
+        out_ids.append(int(did))
+        out_digs.append(digs.tobytes())
+    return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                     "digests": pa.array(out_digs, pa.binary())})
+
+
+def jaccard_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.6,
+                           k: int = 3, concurrency: int = 2,
+                           candidate_margin: float = 0.25) -> rd.Dataset:
+    """EXACT n-gram Jaccard near-dup pairs -> (doc_a, doc_b, jaccard).
+
+    Scale shape: MinHash-LSH generates candidates (no all-pairs), then the
+    exact verify joins each candidate against the per-doc shingle-digest
+    table (two hash joins keyed on doc ids) and computes set Jaccard on the
+    digests. The LSH prefilter admits candidates down to
+    ``threshold - candidate_margin`` estimated similarity so borderline
+    true pairs aren't lost to estimator noise (64-perm sigma ≈ 0.06;
+    a pair missed by LSH entirely requires est ≲ margin below threshold —
+    the standard LSH recall trade-off, documented)."""
+    shingles = ds.map_batches(
+        lambda df: _shingle_digest_col(df, k), batch_format="pandas")
+    cands = minhash_near_dup_pairs(
+        ds, max(0.0, threshold - candidate_margin), k, concurrency)
+    # consolidate before the native join: groupby().map_groups leaves empty
+    # null-schema blocks that make Dataset.join fail with "No match ...
+    # FieldRef(doc_a)" (a Ray 2.49 hash-shuffle quirk; see CLAUDE.md)
+    cands = cands.repartition(8)
+
+    from pero_ocr_ray.functions.join import hash_join
+
+    def as_side(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({name: t.column("doc_id"),
+                             f"digests_{name}": t.column("digests")})
+        return fn
+
+    j = hash_join(cands, shingles.map_batches(as_side("doc_a"),
+                                              batch_format="pyarrow"),
+                  on="doc_a")
+    j = hash_join(j, shingles.map_batches(as_side("doc_b"),
+                                          batch_format="pyarrow"),
+                  on="doc_b")
+
+    def exact(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, jac = [], [], []
+        for a, b, da, db in zip(df["doc_a"], df["doc_b"],
+                                df["digests_doc_a"], df["digests_doc_b"]):
+            sa = set(np.frombuffer(da, dtype=np.int64))
+            sb = set(np.frombuffer(db, dtype=np.int64))
+            union = len(sa) + len(sb) - len(sa & sb)
+            jx = (len(sa & sb) / union) if union else 1.0
+            if jx >= threshold:
+                rows_a.append(int(a)); rows_b.append(int(b)); jac.append(jx)
+        return pd.DataFrame({
+            "doc_a": pd.Series(rows_a, dtype="int64"),
+            "doc_b": pd.Series(rows_b, dtype="int64"),
+            "jaccard": pd.Series(jac, dtype="float64"),
+        })
+
+    return j.map_batches(exact, batch_format="pandas")
+
+
 # -- SimHash ---------------------------------------------------------------
 
 

@@ -19,8 +19,19 @@ import ray.data as rd
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
-              right_on: str | None = None, num_partitions: int = 16,
+              right_on: str | None = None, num_partitions: int | None = None,
               join_type: str = "inner") -> rd.Dataset:
+    """Native hash join. ``num_partitions`` defaults to the cluster CPU
+    count (capped 2..64): each partition runs a HashShuffleAggregator
+    actor, and over-provisioning aggregators beyond the CPUs deadlocks
+    small clusters when composed with actor-pool stages (observed at 16
+    partitions on 4 cpus). On a real multi-node cluster pass an explicit
+    larger value sized to total cores."""
+    if num_partitions is None:
+        import ray
+        cpus = (int(ray.cluster_resources().get("CPU", 4))
+                if ray.is_initialized() else 4)
+        num_partitions = max(2, min(64, cpus))
     return left.join(right, join_type=join_type, num_partitions=num_partitions,
                      on=(on,), right_on=(right_on or on,))
 

@@ -140,6 +140,23 @@ def test_simhash_near_dup_pairs():
     assert (0, 100) in pairset and (0, 101) in pairset  # exact dups: hamming 0
 
 
+def test_jaccard_near_dup_exact_values():
+    """jaccard_near_dup_pairs returns EXACT shingle Jaccard (verified
+    against the brute-force kernel) for every LSH-surfaced pair."""
+    from pero_ocr_ray.functions.dedup import jaccard_near_dup_pairs
+    docs = _docs_with_dups()
+    out = dataset_to_table(jaccard_near_dup_pairs(docs, threshold=0.5)
+                           ).to_pandas()
+    texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
+    assert len(out) >= 4  # (0,100) (0,101) (100,101) (1,200)
+    for _, row in out.iterrows():
+        expect = K.shingle_jaccard(texts[row["doc_a"]], texts[row["doc_b"]])
+        assert row["jaccard"] == pytest.approx(expect, abs=1e-12)
+        assert row["jaccard"] >= 0.5 and row["doc_a"] < row["doc_b"]
+    pairset = set(zip(out["doc_a"], out["doc_b"]))
+    assert {(0, 100), (0, 101), (100, 101), (1, 200)} <= pairset
+
+
 def test_simhash_degenerate_bucket_bounded():
     """2000 near-empty docs share every 16-bit block (simhash 0) — the
     MAX_BUCKET cap must keep the pair loop bounded (quadratic-in-512, not
