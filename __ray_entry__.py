@@ -437,6 +437,35 @@ def _q_compare_runs_cer(sf_dir: str):
             .select_columns(["url", "char_errors", "ref_chars"]))
 
 
+def _q_select_config(sf_dir: str):
+    """select_embed_id analog (rows-only): evaluate candidate extraction
+    configs on a bounded ground-truth sample, report per-candidate CER and
+    the argmin."""
+    import pandas as pd
+    from pero_ocr_ray.functions.select_config import select_best_config
+    from pero_ocr_ray.kernels.config import ExtractConfig
+    from pero_ocr_ray.sources.pages import pages_from_documents
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    pages = pages_from_documents(docs, "simple")
+    gt = dict(zip(pages.column("url").to_pylist(),
+                  [" ".join(t.split())
+                   for t in docs.column("text").to_pylist()]))
+    candidates = [ExtractConfig(),
+                  ExtractConfig(page_min_chars=10_000),
+                  ExtractConfig(score_threshold=-5.0),
+                  ExtractConfig(link_weight=2.0)]
+    out = select_best_config(rd.from_arrow(pages), gt, candidates,
+                             n_clusters=3, sample_n=100,
+                             concurrency=_query_pool())
+    return pd.DataFrame({
+        "candidate": pd.Series(sorted(out["cers"]), dtype="int64"),
+        "cer": pd.Series([out["cers"][i] for i in sorted(out["cers"])],
+                         dtype="float64"),
+        "is_best": pd.Series([i == out["best_index"]
+                              for i in sorted(out["cers"])], dtype="bool"),
+    })
+
+
 def _q_beam_decode(sf_dir: str):
     """Prefix-beam decoding with bigram-LM fusion and per-document hidden
     state carryover across lines (rows-only: the decode of an ambiguous
@@ -566,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "refine_cases": _q_refine_cases,
         "compare_runs_cer": _q_compare_runs_cer,
         "beam_decode_docs": _q_beam_decode,
+        "select_config": _q_select_config,
         "merge_linewise": _q_merge_linewise,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,

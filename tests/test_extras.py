@@ -115,6 +115,46 @@ def test_presentation_shaping_roundtrip():
     assert presentation_to_string("abc") == "abc"
 
 
+def test_select_best_config():
+    """select_embed_id analog: the config that keeps real content wins on
+    CER over one that drops everything (page_min_chars sky-high)."""
+    import pyarrow as pa
+    from pero_ocr_ray.functions.select_config import select_best_config
+    from pero_ocr_ray.kernels.config import ExtractConfig
+    from pero_ocr_ray.sources.pages import pages_from_documents
+    docs = pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "text": pa.array([f"real content words number {i} " * 6
+                          for i in range(12)], pa.string()),
+    })
+    pages = pages_from_documents(docs, "simple")
+    gt = dict(zip(pages.column("url").to_pylist(),
+                  [" ".join(t.split()) for t in docs.column("text").to_pylist()]))
+    candidates = [
+        ExtractConfig(),                                  # sane default
+        ExtractConfig(page_min_chars=10_000),             # drops every page
+        ExtractConfig(score_threshold=-5.0),              # keeps more: fine
+    ]
+    out = select_best_config(rd.from_arrow(pages), gt, candidates,
+                             sample_n=12, concurrency=2)
+    assert out["best_index"] in (0, 2)
+    assert out["cers"][1] > out["best_cer"]
+    assert out["best_cer"] == 0.0
+
+
+def test_select_representative_configs_deterministic():
+    from pero_ocr_ray.functions.select_config import (
+        select_representative_configs,
+    )
+    from pero_ocr_ray.kernels.config import ExtractConfig
+    cands = [ExtractConfig(score_threshold=t / 2, link_weight=w)
+             for t in range(4) for w in (2.0, 6.0)]
+    a = select_representative_configs(cands, 3)
+    b = select_representative_configs(cands, 3)
+    assert a == b and len(a) == 3 and len(set(a)) == 3
+    assert select_representative_configs(cands, 99) == list(range(8))
+
+
 def test_presentation_contextual_forms():
     from pero_ocr_ray.kernels.rtl import string_to_presentation
     import unicodedata
