@@ -437,6 +437,33 @@ def _q_compare_runs_cer(sf_dir: str):
             .select_columns(["url", "char_errors", "ref_chars"]))
 
 
+def _q_searchable_pdf(sf_dir: str):
+    """Searchable-PDF sink (W8, rows-only): extraction output rendered to
+    valid PDFs; verified here by reading each PDF back through the
+    engine's own PDF source (sink↔source closed loop)."""
+    import hashlib
+    import pyarrow as pa
+    from pero_ocr_ray.kernels.pdfmini import pdf_blocks
+    from pero_ocr_ray.sources.searchable_pdf import searchable_pdf
+    pdfs = searchable_pdf(_extract(sf_dir, "simple"))
+
+    def verify(t: pa.Table) -> pa.Table:
+        urls, shas, nb, ok = [], [], [], []
+        for url, pdf in zip(t.column("url").to_pylist(),
+                            t.column("pdf").to_pylist()):
+            blocks, err = pdf_blocks(pdf)
+            urls.append(url)
+            shas.append(hashlib.md5(pdf).hexdigest())
+            nb.append(len(pdf))
+            ok.append(err == "" and (bool(blocks) or len(pdf) < 800))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "pdf_md5": pa.array(shas, pa.string()),
+                         "n_bytes": pa.array(nb, pa.int64()),
+                         "readback_ok": pa.array(ok, pa.bool_())})
+
+    return pdfs.map_batches(verify, batch_format="pyarrow")
+
+
 def _q_select_config(sf_dir: str):
     """select_embed_id analog (rows-only): evaluate candidate extraction
     configs on a bounded ground-truth sample, report per-candidate CER and
@@ -596,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compare_runs_cer": _q_compare_runs_cer,
         "beam_decode_docs": _q_beam_decode,
         "select_config": _q_select_config,
+        "searchable_pdf": _q_searchable_pdf,
         "merge_linewise": _q_merge_linewise,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,

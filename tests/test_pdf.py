@@ -167,3 +167,64 @@ endbfrange""")
 def test_parse_fonts_resolves_resources():
     fonts = parse_fonts(make_cid_pdf("xy"))
     assert "F1" in fonts and fonts["F1"].code_bytes == 2
+
+
+# ---- searchable-PDF sink (W8) ---------------------------------------------
+
+
+def test_searchable_pdf_roundtrip():
+    """The sink's PDFs read back through the engine's own PDF source."""
+    from pero_ocr_ray.sources.searchable_pdf import text_to_pdf
+    text = "first paragraph line one\nsecond line\n\nanother block of text"
+    pdf = text_to_pdf(text)
+    assert pdf.startswith(b"%PDF-1.4") and b"startxref" in pdf
+    blocks, err = pdf_blocks(pdf)
+    assert err == ""
+    joined = "\n".join(t for b in blocks for t, _ in b["pieces"]
+                       if t != "\n").replace("\n\n", "\n")
+    for want in ("first paragraph line one", "second line",
+                 "another block of text"):
+        assert want in joined
+
+
+def test_searchable_pdf_invisible_mode_and_paging():
+    from pero_ocr_ray.sources.searchable_pdf import (
+        LINES_PER_PAGE, text_to_pdf,
+    )
+    import zlib as z
+    text = "\n".join(f"line {i}" for i in range(LINES_PER_PAGE + 10))
+    pdf = text_to_pdf(text, invisible=True, compress=False)
+    assert pdf.count(b"/Type /Page ") == 2          # paged
+    assert b"3 Tr" in pdf                           # invisible text layer
+    blocks, err = pdf_blocks(pdf)
+    texts = [t for b in blocks for t, _ in b["pieces"]]
+    assert "line 0" in texts and f"line {LINES_PER_PAGE + 9}" in texts
+
+
+def test_searchable_pdf_xref_offsets_valid():
+    from pero_ocr_ray.sources.searchable_pdf import text_to_pdf
+    pdf = text_to_pdf("check xref")
+    xref_at = int(pdf.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    assert pdf[xref_at:xref_at + 4] == b"xref"
+    # every offset in the table points at "N 0 obj"
+    table = pdf[xref_at:].split(b"\n")
+    n = int(table[1].split()[1])
+    for i, row in enumerate(table[3:2 + n]):
+        off = int(row.split()[0])
+        assert pdf[off:off + 10].endswith(b" 0 obj\n") or b"obj" in pdf[off:off + 12]
+
+
+def test_searchable_pdf_sink_dataset(tmp_path):
+    import ray.data as rd
+    from pero_ocr_ray.sources.searchable_pdf import (
+        searchable_pdf, write_pdf_files,
+    )
+    from pero_ocr_ray.util import dataset_to_table
+    ds = rd.from_items([{"url": f"u{i}", "extracted_text": f"doc {i} body"}
+                        for i in range(5)])
+    manifest = dataset_to_table(
+        write_pdf_files(searchable_pdf(ds), str(tmp_path / "pdf")))
+    assert manifest.num_rows == 5
+    import pathlib
+    p = pathlib.Path(manifest.column("path")[0].as_py())
+    assert p.exists() and p.read_bytes().startswith(b"%PDF")
