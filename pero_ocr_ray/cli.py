@@ -85,6 +85,42 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export a pages corpus to PAGE-XML / ALTO / searchable-PDF files
+    (the parse_folder output-writer surface: --output-xml-path /
+    --output-alto-path / searchable PDF, recast as Ray sinks)."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+    from pero_ocr_ray.kernels.config import DEFAULT_CONFIG
+    from pero_ocr_ray.pipelines.registry import build_from_spec
+    from pero_ocr_ray.util import dataset_to_table
+
+    ds = rd.read_parquet(args.input)
+    stats = {}
+    if args.format in ("pagexml", "alto"):
+        stage = "to_pagexml" if args.format == "pagexml" else "to_alto"
+        spec = [{"stage": "decode"}, {"stage": "parse"}, {"stage": "segment"},
+                {"stage": "classify", "concurrency": args.concurrency or 2},
+                {"stage": "order"}, {"stage": stage}]
+        with_xml = build_from_spec(ds, spec, DEFAULT_CONFIG)
+        from pero_ocr_ray.sources.pagexml import write_xml_files
+        column = "pagexml" if args.format == "pagexml" else "alto"
+        manifest = write_xml_files(with_xml, args.output, column=column)
+        stats["files"] = dataset_to_table(manifest).num_rows
+    else:  # pdf
+        from pero_ocr_ray.pipelines.extract import extract_pipeline
+        from pero_ocr_ray.sources.searchable_pdf import (
+            searchable_pdf, write_pdf_files,
+        )
+        out = extract_pipeline(ds, DEFAULT_CONFIG,
+                               concurrency=args.concurrency)
+        manifest = write_pdf_files(
+            searchable_pdf(out, invisible=args.invisible), args.output)
+        stats["files"] = dataset_to_table(manifest).num_rows
+    print(json.dumps(stats))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pero_ocr_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -113,6 +149,17 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--confusions", type=int, default=0,
                     help="also report the top-N character confusions")
     cp.set_defaults(fn=cmd_compare)
+
+    xp = sub.add_parser("export", help="export PAGE-XML / ALTO / PDF files")
+    xp.add_argument("--input", required=True, help="pages parquet file/dir")
+    xp.add_argument("--output", required=True, help="output file directory")
+    xp.add_argument("--format", default="pagexml",
+                    choices=["pagexml", "alto", "pdf"])
+    xp.add_argument("--invisible", action="store_true",
+                    help="pdf: invisible text layer (searchable overlay)")
+    xp.add_argument("--concurrency", type=int, default=None)
+    xp.add_argument("--num-cpus", type=int, default=None)
+    xp.set_defaults(fn=cmd_export)
 
     args = ap.parse_args(argv)
     try:
