@@ -663,6 +663,38 @@ def _lang_id_sql() -> str:
         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"""
 
 
+def _fingerprint_sql() -> str:
+    """Mirror of kernels.textstats.rolling_fingerprint: min of polynomial
+    rolling hashes over 64-char windows (winnowing), HUGEINT arithmetic,
+    short-text polynomial branch; powers of the base inlined."""
+    from pero_ocr_ray.kernels.textstats import _FP_BASE, _FP_MOD
+    pw_rows = ", ".join(f"({k}, {pow(_FP_BASE, k, _FP_MOD)})"
+                        for k in range(64))
+    return f"""
+        WITH pw(k, p) AS (VALUES {pw_rows}),
+        t AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs
+              FROM documents),
+        c AS (SELECT doc_id, unnest(cs) AS ch,
+                     generate_subscripts(cs, 1) AS i, len(cs) AS n FROM t),
+        longterms AS (
+            SELECT c.doc_id, c.i + pw.k - 63 AS s,
+                   CAST(ord(c.ch) AS HUGEINT) * pw.p AS term, c.n
+            FROM c CROSS JOIN pw WHERE c.n >= 64),
+        wh AS (SELECT doc_id, s, SUM(term) % {_FP_MOD} AS h
+               FROM longterms WHERE s >= 1 AND s + 63 <= n
+               GROUP BY doc_id, s),
+        longfp AS (SELECT doc_id, CAST(MIN(h) AS BIGINT) AS fingerprint
+                   FROM wh GROUP BY doc_id),
+        shortfp AS (SELECT c.doc_id,
+                           CAST(SUM(CAST(ord(c.ch) AS HUGEINT) * pw.p)
+                                % {_FP_MOD} AS BIGINT) AS fingerprint
+                    FROM c JOIN pw ON pw.k = c.n - c.i WHERE c.n < 64
+                    GROUP BY c.doc_id),
+        allfp AS (SELECT * FROM longfp UNION ALL SELECT * FROM shortfp)
+        SELECT d.doc_id, COALESCE(allfp.fingerprint, 0) AS fingerprint
+        FROM documents d LEFT JOIN allfp ON d.doc_id = allfp.doc_id"""
+
+
 _SIMHASH_SQL = r"""
     WITH toks AS (
         SELECT doc_id,
@@ -741,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = inter.doc_b
             WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= 0.6""",
         "simhash_signatures": _SIMHASH_SQL,
+        "doc_fingerprints": _fingerprint_sql(),
         "dedup_pages_latest": f"""
             SELECT {_URL_SQL} AS url,
                    CAST(CASE WHEN doc_id % 10 = 0 THEN doc_id + 1000000
