@@ -774,6 +774,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= 0.6""",
         "simhash_signatures": _SIMHASH_SQL,
         "doc_fingerprints": _fingerprint_sql(),
+        "embedding_near_dup": """
+            WITH emb2 AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM embeddings
+                WHERE vec_id < 10)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""",
         "dedup_pages_latest": f"""
             SELECT {_URL_SQL} AS url,
                    CAST(CASE WHEN doc_id % 10 = 0 THEN doc_id + 1000000
