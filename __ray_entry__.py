@@ -274,6 +274,15 @@ def _q_sessionize(sf_dir: str):
     return sessionize(ev, 30)
 
 
+def _q_sessionize_bucketed(sf_dir: str):
+    """Hot-key-safe sessionize (two-phase (user, day) bucketing + boundary
+    merge) — must hash-match the same SQL oracle as the plain operator."""
+    from pero_ocr_ray.functions.windows import sessionize_bucketed
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return sessionize_bucketed(ev, 30, "D")
+
+
 def _q_distinct_brands(sf_dir: str):
     from pero_ocr_ray.functions.relational import distinct_brands
     return distinct_brands(rd.read_parquet(os.path.join(sf_dir, "part.parquet")))
@@ -605,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_per_nation": _q_suppliers_per_nation,
         "doc_lang_counts": _q_lang_counts,
         "events_sessionize": _q_sessionize,
+        "events_sessionize_bucketed": _q_sessionize_bucketed,
         "distinct_brands": _q_distinct_brands,
         "top_parts_by_price": _q_top_parts,
         "customer_segment_counts": _q_segment_counts,
@@ -633,6 +643,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _URL_SQL = "'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR)"
 _CANON_SQL = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
 _STOPWORD_SQL = r"\b(?:the|and|of|a|to|in|is|for|on|with)\b"
+
+
+_SESSIONIZE_SQL = """
+    WITH d AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events)
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM d GROUP BY user_id"""
 
 
 def _lang_id_sql() -> str:
@@ -872,18 +895,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_counts": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY lang""",
-        "events_sessionize": """
-            WITH d AS (
-                SELECT user_id,
-                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                                 IS NULL
-                              OR ts - lag(ts) OVER (PARTITION BY user_id
-                                                    ORDER BY ts)
-                                 > INTERVAL 30 MINUTE
-                            THEN 1 ELSE 0 END AS new_session
-                FROM events)
-            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
-            FROM d GROUP BY user_id""",
+        "events_sessionize": _SESSIONIZE_SQL,
+        "events_sessionize_bucketed": _SESSIONIZE_SQL,
         "distinct_brands": "SELECT DISTINCT p_brand FROM part",
         "top_parts_by_price": """
             SELECT p_partkey,

@@ -289,6 +289,34 @@ def test_sessionize():
     assert out["n_sessions"].tolist() == [3, 1]
 
 
+def test_sessionize_bucketed_matches_plain():
+    """The hot-key-safe two-phase sessionize is exactly equal to the plain
+    operator, including sessions spanning day boundaries."""
+    import random
+    from pero_ocr_ray.functions.windows import sessionize, sessionize_bucketed
+    rng = random.Random(11)
+    rows = []
+    # a hot user with 400 events over 6 days, incl. runs crossing midnight
+    t = pd.Timestamp("2024-01-01 23:40")
+    for _ in range(400):
+        t += pd.Timedelta(minutes=rng.choice([1, 5, 29, 31, 200]))
+        rows.append({"user_id": 7, "ts": t})
+    # events exactly at / around the boundary-merge threshold
+    rows += [{"user_id": 8, "ts": pd.Timestamp("2024-01-01 23:45")},
+             {"user_id": 8, "ts": pd.Timestamp("2024-01-02 00:15")},  # ==gap
+             {"user_id": 8, "ts": pd.Timestamp("2024-01-02 00:46")},  # >gap
+             {"user_id": 9, "ts": pd.Timestamp("2024-01-03 00:00")}]
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    ds = rd.from_pandas(df)
+    plain = (dataset_to_table(sessionize(ds, 30)).to_pandas()
+             .sort_values("user_id", ignore_index=True))
+    bucketed = (dataset_to_table(sessionize_bucketed(ds, 30, "D")).to_pandas()
+                .sort_values("user_id", ignore_index=True))
+    pd.testing.assert_frame_equal(plain, bucketed)
+    assert bucketed.loc[bucketed["user_id"] == 8, "n_sessions"].iloc[0] == 2
+
+
 def test_levenshtein_substring():
     from pero_ocr_ray.kernels.align import levenshtein_substring
     d, end = levenshtein_substring("world", "hello world again")
