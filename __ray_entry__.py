@@ -511,6 +511,28 @@ def _q_beam_decode(sf_dir: str):
     return beam_decode(_docs(sf_dir), concurrency=_query_pool())
 
 
+def _q_confusion_top(sf_dir: str):
+    """Distributed character-confusion tallies between the original and a
+    vowel-stripped rerun (rows-only: alignment tie-breaks are
+    implementation-defined, so counts aren't SQL-reproducible; the
+    distributed path itself is the system under test — union + url-keyed
+    groupby, no driver materialization)."""
+    import pyarrow.compute as pc
+    from pero_ocr_ray.functions.quality import confusion_counts
+    from pero_ocr_ray.pipelines.extract import extract_pipeline
+    from pero_ocr_ray.sources.pages import pages_from_documents
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    stripped = docs.set_column(
+        docs.column_names.index("text"), "text",
+        pc.replace_substring_regex(docs.column("text"), "[aeiou]", ""))
+    pages_b = pages_from_documents(stripped, "simple")
+    a = _extract(sf_dir, "simple")
+    b = extract_pipeline(
+        rd.from_arrow(pages_b).repartition(max(2, pages_b.num_rows // 64)),
+        concurrency=_query_pool())
+    return confusion_counts(a, b, top_k=20)
+
+
 def _q_merge_linewise(sf_dir: str):
     from pero_ocr_ray.pipelines.merge import merge_results_linewise
     a = _extract(sf_dir, "simple")
@@ -634,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "beam_decode_docs": _q_beam_decode,
         "select_config": _q_select_config,
         "searchable_pdf": _q_searchable_pdf,
+        "confusion_top": _q_confusion_top,
         "merge_linewise": _q_merge_linewise,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
