@@ -141,28 +141,41 @@ def suppliers_per_nation(supplier: rd.Dataset, nation: rd.Dataset) -> rd.Dataset
 
 
 def distinct_brands(part: rd.Dataset) -> rd.Dataset:
-    """Distinct p_brand values (ds.unique — a shuffle).
+    """Distinct p_brand values, fully distributed: per-batch distinct
+    (combiner — the shuffle moves at most |distinct| rows per batch, not
+    the table), then a groupby keyed on the value keeps one row per key.
+    Safe at any cardinality, unlike driver-side ``ds.unique``."""
+    def batch_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["p_brand"]].drop_duplicates()
 
-    NOTE: ``ds.unique`` collects the distinct set on the driver — only
-    valid for LOW-CARDINALITY columns (p_brand has 25 values). For
-    unbounded-cardinality keys use a groupby/aggregate that stays
-    distributed instead of this pattern."""
-    import pyarrow as pa
-    vals = sorted(part.unique("p_brand"))
-    return rd.from_arrow(pa.table({"p_brand": pa.array(vals, pa.string())}))
+    return (part.map_batches(batch_distinct, batch_format="pandas")
+                .groupby("p_brand")
+                .map_groups(lambda g: g.head(1), batch_format="pandas")
+                .sort("p_brand"))
 
 
 def top_parts_by_price(part: rd.Dataset, k: int = 5) -> rd.Dataset:
-    """Top-k parts by retail price (distributed sort + limit)."""
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Top-k parts by retail price — distributed top-k, NOT a full sort:
+    batch-local top-k inside ``map_batches`` (each batch forwards at most
+    k rows), then one tiny final selection. A ``sort().limit()`` would
+    all-to-all shuffle the whole table to discard everything but k rows."""
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["p_partkey", "p_retailprice"]]
+                .sort_values(["p_retailprice", "p_partkey"],
+                             ascending=[False, True]).head(k))
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["p_retailprice", "p_partkey"],
+                            ascending=[False, True]).head(k)
         return pd.DataFrame({
             "p_partkey": df["p_partkey"].astype("int64"),
             "price_cents": (df["p_retailprice"] * 100).round().astype("int64"),
         })
-    top = (part.select_columns(["p_partkey", "p_retailprice"])
-               .sort(["p_retailprice", "p_partkey"], descending=[True, False])
-               .limit(k))
-    return top.map_batches(finalize, batch_format="pandas", batch_size=None)
+
+    return (part.map_batches(local_topk, batch_format="pandas")
+                .repartition(1)
+                .map_batches(final_topk, batch_format="pandas",
+                             batch_size=None))
 
 
 def customer_segment_counts(customer: rd.Dataset) -> rd.Dataset:
