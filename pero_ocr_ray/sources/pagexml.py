@@ -49,7 +49,9 @@ _INT_FIELDS = ("dom_idx", "depth", "raw_len", "link_chars", "col_group",
                "col_ord", "src_start", "src_end", "n_chars", "order")
 _BOOL_FIELDS = ("boiler", "pre", "keep")
 
-_INVALID_XML = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# \r included: XML parsers normalize \r / \r\n to \n in content (XML 1.0
+# §2.11), which would silently corrupt the round trip
+_INVALID_XML = re.compile("[\x00-\x08\x0b-\x0d\x0e-\x1f]")
 _ALTO_ID_SUB = re.compile("[!\"#$%&'()*+,/:;<=>?@[\\]^`{|}~ ]")
 
 

@@ -58,6 +58,76 @@ def test_determinism_on_arbitrary_text(payload):
     assert extract_document("u", doc) == extract_document("u", doc)
 
 
+# ---- round-2 kernels -------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=200))
+def test_pagexml_roundtrip_arbitrary_line_text(line):
+    """PAGE-XML round trip is exact for ANY line text, including XML-hostile
+    control chars (the b64 escape path)."""
+    from pero_ocr_ray.sources.pagexml import (
+        page_from_pagexml, page_to_pagexml,
+    )
+    row = {"url": "u", "payload_kind": "html", "encoding": "utf-8",
+           "error": "",
+           "blocks": [{"block_id": "b0000", "kind": "p", "tag_path": "p",
+                       "dom_idx": 0, "depth": 1, "raw_len": len(line),
+                       "link_chars": 0, "boiler": False, "pre": False,
+                       "col_group": -1, "col_ord": -1, "src_start": 0,
+                       "src_end": len(line), "n_chars": len(line),
+                       "score": 1.25, "keep": True, "order": 0,
+                       "pieces": [], "lines": [(line, 0, len(line))]}]}
+    back = page_from_pagexml(page_to_pagexml(row))
+    assert back["blocks"][0]["lines"] == [(line, 0, len(line))]
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=2048))
+def test_pdf_blocks_never_raises(raw):
+    from pero_ocr_ray.kernels.pdfmini import pdf_blocks
+    blocks, err = pdf_blocks(b"%PDF-1.4\n" + raw)
+    assert isinstance(blocks, list) and isinstance(err, str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("abc ")), max_size=30))
+def test_beam_equals_greedy_on_peaked_lattices(text):
+    """With near-one-hot lattices (no ambiguity) the prefix-beam decoder,
+    the greedy decoder and the source text all agree."""
+    import numpy as np
+    from pero_ocr_ray.kernels.beam import (
+        BLANK, ctc_prefix_beam_decode, greedy_ctc_decode, text_to_lattice,
+    )
+    letters = list("abc ") + [BLANK]
+    lat = text_to_lattice(text, letters, noise=0.0)
+    assert greedy_ctc_decode(lat, letters).best_hyp() == text
+    assert ctc_prefix_beam_decode(lat, letters, k=2).best_hyp() == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("ab 12سلم،.x؟")), max_size=20))
+def test_bidi_involution_hypothesis(s):
+    from pero_ocr_ray.kernels.rtl import logical_to_visual
+    v = logical_to_visual(s)
+    assert sorted(v) == sorted(s)
+    assert logical_to_visual(v) == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",),
+                                      max_codepoint=0xFB4F),
+               max_size=200))
+def test_shaping_unshape_inverts_shape(s):
+    """presentation_to_string(string_to_presentation(x)) == x for any text
+    (shaping only substitutes presentation glyphs with exact back-maps)."""
+    from pero_ocr_ray.kernels.rtl import (
+        presentation_to_string, string_to_presentation,
+    )
+    assert presentation_to_string(string_to_presentation(s)) == s
+
+
 # ---- WARC source ----------------------------------------------------------
 
 def _sample_records():
