@@ -74,24 +74,37 @@ def content_hashes(ds: rd.Dataset) -> rd.Dataset:
 def approx_distinct(ds: rd.Dataset, column: str,
                     tokenize: bool = False) -> dict:
     """HLL approximate distinct count of ``column`` (or of its whitespace
-    tokens when ``tokenize``). One 4 KB sketch per batch, merged in a tiny
-    driver-side fold — no shuffle of raw values at any scale."""
+    tokens when ``tokenize``), as a native Ray ``AggregateFn``: each block
+    accumulates into a 4 KB sketch, sketches tree-merge inside the
+    aggregation — no raw values and no sketch list ever reach the driver."""
+    from ray.data.aggregate import AggregateFn
     from pero_ocr_ray.kernels import hll
 
-    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
-        sk = hll.empty_sketch()
+    def accumulate(state, block) -> tuple:
+        sk, n = hll.deserialize(state[0]), state[1]
+        col = (block[column].to_pylist() if hasattr(block, "column_names")
+               else list(block[column]))
         if tokenize:
-            for text in df[column]:
+            for text in col:
                 hll.add_many(sk, K.TOKEN_RE.findall(text))
         else:
-            hll.add_many(sk, (str(v) for v in df[column]))
-        return pd.DataFrame({"sketch": [hll.serialize(sk)]})
+            hll.add_many(sk, (str(v) for v in col))
+        return (hll.serialize(sk), n + 1)
 
-    merged = hll.empty_sketch()
-    sketches = ds.map_batches(sketch_batch, batch_format="pandas").take_all()
-    for row in sketches:
-        merged = hll.merge(merged, hll.deserialize(row["sketch"]))
-    return {"estimate": hll.estimate(merged), "sketches_merged": len(sketches)}
+    def merge(a, b) -> tuple:
+        return (hll.serialize(hll.merge(hll.deserialize(a[0]),
+                                        hll.deserialize(b[0]))),
+                a[1] + b[1])
+
+    agg = ds.aggregate(AggregateFn(
+        init=lambda k: (hll.serialize(hll.empty_sketch()), 0),
+        merge=merge,
+        accumulate_block=accumulate,
+        finalize=lambda s: (hll.estimate(hll.deserialize(s[0])), s[1]),
+        name="hll",
+    ))
+    estimate, n_blocks = agg["hll"]
+    return {"estimate": estimate, "sketches_merged": n_blocks}
 
 
 def fingerprints(ds: rd.Dataset) -> rd.Dataset:
