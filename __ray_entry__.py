@@ -473,6 +473,17 @@ def _q_searchable_pdf(sf_dir: str):
     return pdfs.map_batches(verify, batch_format="pyarrow")
 
 
+def _q_training_corpus_stats(sf_dir: str):
+    """Composed curation pipeline: exact dedup -> quality filter ->
+    per-lang stats in one streaming chain; the oracle replays the whole
+    composition in SQL (composition correctness, not just per-op)."""
+    from pero_ocr_ray.pipelines.training_data import training_corpus_stats
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    return training_corpus_stats(docs, min_tokens=20,
+                                 max_stopword_ratio=0.5)
+
+
 def _q_select_config(sf_dir: str):
     """select_embed_id analog (rows-only): evaluate candidate extraction
     configs on a bounded ground-truth sample, report per-candidate CER and
@@ -683,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "refine_cases": _q_refine_cases,
         "compare_runs_cer": _q_compare_runs_cer,
         "beam_decode_docs": _q_beam_decode,
+        "training_corpus_stats": _q_training_corpus_stats,
         "select_config": _q_select_config,
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
@@ -820,6 +832,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "doc_content_hash": "SELECT doc_id, md5(text) AS content_hash FROM documents",
         "doc_lang_id": _lang_id_sql(),
+        "training_corpus_stats": r"""
+            WITH surv AS (
+                SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
+                       text
+                FROM (SELECT doc_id, lang, text FROM documents)
+                GROUP BY text
+                ),
+            surv2 AS (
+                SELECT s.doc_id, d.lang, s.text
+                FROM surv s JOIN documents d ON d.doc_id = s.doc_id),
+            feat AS (
+                SELECT doc_id, lang,
+                       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                           AS n_tokens,
+                       CAST(length(regexp_extract_all(lower(text),
+                            '\b(?:the|and|of|a|to|in|is|for|on|with)\b'))
+                           AS BIGINT) AS n_stop
+                FROM surv2),
+            kept AS (SELECT * FROM feat
+                     WHERE n_tokens >= 20 AND n_stop <= 0.5 * n_tokens)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM kept GROUP BY lang""",
         "jaccard_near_dup_pairs": """
             WITH docs2 AS (
                 SELECT doc_id, text FROM documents
