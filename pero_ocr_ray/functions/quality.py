@@ -134,6 +134,29 @@ def compare_extractions(a: rd.Dataset, b: rd.Dataset,
     return out
 
 
+def compare_pagexml_dirs(hyp_paths, ref_paths,
+                         normalize: bool = True) -> dict:
+    """Corpus CER/WER between two on-disk PAGE-XML corpora — the
+    compare_page_xml_texts analog
+    (/root/reference/user_scripts/compare_page_xml_texts.py:30-83), built
+    on the real PAGE-XML reader: both corpora stream through
+    ``read_pagexml_files`` → ``emit`` and meet in the distributed
+    url-keyed comparison (:func:`compare_extractions`)."""
+    import functools
+    from pero_ocr_ray.kernels.config import DEFAULT_CONFIG
+    from pero_ocr_ray.sources.pagexml import read_pagexml_files
+    from pero_ocr_ray.stages.extract import emit_stage
+
+    def load(paths):
+        ds = read_pagexml_files(paths)
+        return ds.map_batches(
+            functools.partial(emit_stage, cfg=DEFAULT_CONFIG),
+            batch_format="pyarrow")
+
+    return compare_extractions(load(hyp_paths), load(ref_paths),
+                               normalize=normalize)
+
+
 def confusion_counts(a: rd.Dataset, b: rd.Dataset, top_k: int = 50,
                      normalize: bool = True) -> rd.Dataset:
     """Character confusion tallies between two runs joined on url — the

@@ -149,6 +149,33 @@ def test_pagexml_file_corpus_roundtrip(tmp_path):
         assert got[url] in (want[url],) or got[url] == want[url]
 
 
+def test_compare_pagexml_dirs(tmp_path):
+    """compare_page_xml_texts analog: two on-disk PAGE-XML corpora meet in
+    the distributed comparison; a self-compare is exactly zero and a
+    corpus-vs-modified compare is not."""
+    import ray.data as rd
+    from pero_ocr_ray.functions.quality import compare_pagexml_dirs
+    from pero_ocr_ray.pipelines.registry import build_from_spec
+    pages = synthesize_pages(10)
+    spec = [{"stage": "decode"}, {"stage": "parse"}, {"stage": "segment"},
+            {"stage": "classify", "concurrency": 2}, {"stage": "order"},
+            {"stage": "to_pagexml"}]
+    with_xml = build_from_spec(rd.from_arrow(pages), spec)
+    m = dataset_to_table(write_xml_files(with_xml, str(tmp_path / "a")))
+    paths = m.column("path").to_pylist()
+    stats = compare_pagexml_dirs(paths, paths)
+    assert stats["cer"] == 0.0 and stats["n_docs"] == len(paths)
+    # modified ref corpus: flip one file's text
+    import shutil
+    bdir = tmp_path / "b"
+    shutil.copytree(tmp_path / "a", bdir)
+    victim = sorted(bdir.glob("*.xml"))[0]
+    victim.write_text(victim.read_text().replace("<Unicode>", "<Unicode>X ", 1))
+    stats2 = compare_pagexml_dirs(paths,
+                                  [str(p) for p in sorted(bdir.glob("*.xml"))])
+    assert stats2["cer"] > 0.0
+
+
 # ---- ALTO -----------------------------------------------------------------
 
 
