@@ -784,6 +784,58 @@ def _fingerprint_sql() -> str:
         FROM documents d LEFT JOIN allfp ON d.doc_id = allfp.doc_id"""
 
 
+def _minhash_sql(threshold: float = 0.7) -> str:
+    """From-scratch SQL mirror of functions.dedup.minhash_near_dup_pairs:
+    trigram shingles -> md5-low-64 hashes -> 64 permutations
+    ``(a*x + b) mod p`` with the uint64 product wrap made explicit
+    (HUGEINT ``% 2^64``) -> min per permutation = signature -> LSH bands of
+    4 rows (docs sharing any identical band are candidates) -> estimated
+    Jaccard = matching permutations / 64, thresholded. The 128 permutation
+    constants are inlined from kernels.textstats._MH_A/_MH_B."""
+    from pero_ocr_ray.kernels.textstats import _MH_A, _MH_B
+    perm_rows = ", ".join(f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+                          for i, (a, b) in enumerate(zip(_MH_A, _MH_B)))
+    two64 = 1 << 64
+    p = (1 << 61) - 1
+    return f"""
+        WITH perms(i, a, b) AS (VALUES {perm_rows}),
+        t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS w,
+                       generate_subscripts(toks, 1) AS i FROM t),
+        tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                FROM tok a
+                JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        shd AS (SELECT DISTINCT doc_id, s FROM tri),
+        hx AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(s), 1, 16))::UBIGINT
+                           AS HUGEINT) AS x
+               FROM shd),
+        sig AS (SELECT doc_id, p.i,
+                       MIN(((p.a * hx.x) % {two64} + p.b) % {two64} % {p})
+                           AS v
+                FROM hx CROSS JOIN perms p GROUP BY doc_id, p.i),
+        band AS (SELECT doc_id, i // 4 AS band,
+                        string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)
+                            AS bkey
+                 FROM sig GROUP BY doc_id, i // 4),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM band x JOIN band y
+                   ON y.band = x.band AND y.bkey = x.bkey
+                  AND x.doc_id < y.doc_id),
+        est AS (SELECT c.doc_a, c.doc_b,
+                       SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0
+                           AS est_jaccard
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.doc_a
+                JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+                GROUP BY c.doc_a, c.doc_b)
+        SELECT doc_a, doc_b, est_jaccard FROM est
+        WHERE est_jaccard >= {threshold}"""
+
+
 _SIMHASH_SQL = r"""
     WITH toks AS (
         SELECT doc_id,
@@ -885,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = inter.doc_b
             WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= 0.6""",
         "simhash_signatures": _SIMHASH_SQL,
+        "minhash_near_dup_pairs": _minhash_sql(0.7),
         "doc_fingerprints": _fingerprint_sql(),
         "embedding_near_dup": """
             WITH emb2 AS (

@@ -74,6 +74,8 @@ class MinHashStage:
         band_keys, doc_ids, sigs = [], [], []
         for did, text in zip(df["doc_id"], df["text"]):
             sig = K.minhash_signature(text, self.k)
+            if sig is None:  # no shingles (<k tokens): never a candidate
+                continue
             sig_list = sig.astype(np.int64).tolist()
             for key in K.lsh_band_keys(sig):
                 band_keys.append(key)
@@ -187,9 +189,20 @@ def jaccard_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.6,
     table (two hash joins keyed on doc ids) and computes set Jaccard on the
     digests. The LSH prefilter admits candidates down to
     ``threshold - candidate_margin`` estimated similarity so borderline
-    true pairs aren't lost to estimator noise (64-perm sigma ≈ 0.06;
-    a pair missed by LSH entirely requires est ≲ margin below threshold —
-    the standard LSH recall trade-off, documented)."""
+    true pairs aren't lost to estimator noise.
+
+    RECALL ASSUMPTION (the one divergence from the all-pairs oracle): a
+    true pair whose 64-perm estimate draws more than ``candidate_margin``
+    below its exact Jaccard is silently absent. The estimator's sigma is
+    sqrt(j(1-j)/64) ≤ 0.0625, so the default margin 0.25 is a ≥4-sigma
+    guard band — a miss requires a ≥4-sigma deviation AND no shared LSH
+    band. Callers shrinking ``candidate_margin`` below ~3 sigma trade
+    exactness for compute and should cross-check recall on injected
+    duplicates (the correctness gate's injected pairs sit at ~0.9 Jaccard,
+    far above the risky band)."""
+    assert candidate_margin >= 0.19, (
+        "candidate_margin below ~3 sigma (0.19) voids the exact-recall "
+        "guarantee vs the all-pairs oracle; see docstring")
     shingles = ds.map_batches(
         lambda df: _shingle_digest_col(df, k), batch_format="pandas")
     cands = minhash_near_dup_pairs(
@@ -221,7 +234,11 @@ def jaccard_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.6,
             sa = set(np.frombuffer(da, dtype=np.int64))
             sb = set(np.frombuffer(db, dtype=np.int64))
             union = len(sa) + len(sb) - len(sa & sb)
-            jx = (len(sa & sb) / union) if union else 1.0
+            if union == 0:
+                # both shingle sets empty (degenerate docs): emit no pair —
+                # the trigram oracle emits nothing for such docs either
+                continue
+            jx = len(sa & sb) / union
             if jx >= threshold:
                 rows_a.append(int(a)); rows_b.append(int(b)); jac.append(jx)
         return pd.DataFrame({

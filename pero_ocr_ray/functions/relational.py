@@ -67,27 +67,29 @@ def top_orders_by_revenue(customer: rd.Dataset, orders: rd.Dataset,
                           cutoff: str = "1995-03-15", k: int = 10) -> rd.Dataset:
     """TPC-H Q3-style: top-k orders by revenue for one customer segment.
 
-    The customer side broadcasts (a segment's key set is genuinely small:
-    an int array ``ray.put`` once, read inside each map task). The
-    orders↔lineitem edge is a shuffle hash join on ``o_orderkey``: the
-    date-filtered orders side is O(|orders|) — broadcasting it was a driver
-    materialization that dies at scale — so lineitem revenue is first
-    pre-aggregated per orderkey (combiner: the shuffle moves per-key
-    partials), then joined with the filtered orders stream."""
+    Fully shuffle-based — nothing is ever materialized on the driver: the
+    customer side is a constant fraction of ``customer`` (a fifth of the
+    table), so it is map-filtered and shuffle hash-joined with the
+    date-filtered orders on ``o_custkey``; the orders↔lineitem edge is a
+    second hash join on ``o_orderkey`` against lineitem revenue
+    pre-aggregated per orderkey (combiner: that shuffle moves per-key
+    partials, not lineitem rows)."""
+    from pero_ocr_ray.functions.join import hash_join
+
     cutoff_ts = pd.Timestamp(cutoff)
-    cust_ids = set(
-        r["c_custkey"]
-        for r in customer.map_batches(
-            lambda df: df.loc[df["c_mktsegment"] == segment, ["c_custkey"]],
-            batch_format="pandas").take_all())
-    cust_ref = ray.put(np.array(sorted(cust_ids), dtype=np.int64))
+
+    def filter_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["c_mktsegment"] == segment, ["c_custkey"]]
 
     def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
-        ids = ray.get(cust_ref)
-        m = (df["o_orderdate"] < cutoff_ts) & df["o_custkey"].isin(ids)
-        return df.loc[m, ["o_orderkey", "o_orderdate"]]
+        m = df["o_orderdate"] < cutoff_ts
+        return df.loc[m, ["o_orderkey", "o_custkey", "o_orderdate"]]
 
-    sel_orders = orders.map_batches(filter_orders, batch_format="pandas")
+    sel_orders = hash_join(
+        orders.map_batches(filter_orders, batch_format="pandas"),
+        customer.map_batches(filter_cust, batch_format="pandas"),
+        on="o_custkey", right_on="c_custkey",
+    ).select_columns(["o_orderkey", "o_orderdate"])
 
     def partial_rev(df: pd.DataFrame) -> pd.DataFrame:
         df = df.loc[df["l_shipdate"] > cutoff_ts]
@@ -99,7 +101,6 @@ def top_orders_by_revenue(customer: rd.Dataset, orders: rd.Dataset,
     agg = (lineitem.map_batches(partial_rev, batch_format="pandas")
            .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue")))
 
-    from pero_ocr_ray.functions.join import hash_join
     joined = hash_join(agg, sel_orders, on="o_orderkey")
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -190,37 +191,57 @@ def customer_segment_counts(customer: rd.Dataset) -> rd.Dataset:
         batch_format="pandas")
 
 
-def _quantile_disc(sorted_vals: np.ndarray, q: float) -> int:
-    """DuckDB quantile_disc semantics: sorted[ceil(q*n) - 1] (verified)."""
-    import math
-    n = len(sorted_vals)
-    return int(sorted_vals[max(0, math.ceil(q * n) - 1)])
-
-
 def token_quantiles_by_lang(documents: rd.Dataset) -> rd.Dataset:
     """Exact discrete quantiles of per-doc token counts, grouped by lang.
 
-    The distributional-aggregate shape: a cheap vectorized feature map,
-    then per-group exact quantiles inside ``map_groups`` (one shuffle keyed
-    on lang). Semantics match DuckDB ``quantile_disc`` exactly."""
+    Histogram shape, hot-key-safe: ``lang`` is low-cardinality and skewed
+    (one group can be most of the corpus), so sorting a whole language's
+    raw counts inside one group dies at scale. Instead each batch emits
+    (lang, n_tokens) -> count partials (token counts are small ints, so
+    per-lang histogram state is bounded by the largest document, not the
+    corpus); a groupby sums the histograms; the exact ``quantile_disc``
+    value is read off the merged cumulative counts. Semantics match DuckDB
+    ``quantile_disc`` exactly (verified identical to the raw-sort form)."""
+    import math
     from pero_ocr_ray.kernels.textstats import TOKEN_RE
 
-    def feats(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "lang": df["lang"],
-            "n_tokens": df["text"].str.count(TOKEN_RE).astype("int64"),
-        })
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+                "lang": df["lang"],
+                "n_tokens": df["text"].str.count(TOKEN_RE).astype("int64"),
+             })
+             .groupby(["lang", "n_tokens"], as_index=False)
+             .size().rename(columns={"size": "n_partial"}))
+        g["key"] = g["lang"] + "|" + g["n_tokens"].astype(str)
+        return g[["key", "n_partial"]]
+
+    hist = (documents.map_batches(partial, batch_format="pandas")
+            .groupby("key").aggregate(Sum("n_partial", alias_name="n_docs")))
+
+    def split_key(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["key"].str.rsplit("|", n=1, expand=True)
+        return pd.DataFrame({"lang": parts[0],
+                             "n_tokens": parts[1].astype("int64"),
+                             "n_docs": df["n_docs"].astype("int64")})
 
     def quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["n_tokens"].to_numpy())
+        g = g.sort_values("n_tokens")
+        vals = g["n_tokens"].to_numpy()
+        cum = np.cumsum(g["n_docs"].to_numpy())
+        total = int(cum[-1])
+
+        def qd(q: float) -> int:
+            rank = max(1, math.ceil(q * total))  # 1-based discrete rank
+            return int(vals[np.searchsorted(cum, rank)])
+
         return pd.DataFrame({
             "lang": [g["lang"].iloc[0]],
-            "p25": pd.Series([_quantile_disc(v, 0.25)], dtype="int64"),
-            "p50": pd.Series([_quantile_disc(v, 0.50)], dtype="int64"),
-            "p90": pd.Series([_quantile_disc(v, 0.90)], dtype="int64"),
+            "p25": pd.Series([qd(0.25)], dtype="int64"),
+            "p50": pd.Series([qd(0.50)], dtype="int64"),
+            "p90": pd.Series([qd(0.90)], dtype="int64"),
         })
 
-    return (documents.map_batches(feats, batch_format="pandas")
+    return (hist.map_batches(split_key, batch_format="pandas")
             .groupby("lang").map_groups(quantiles, batch_format="pandas"))
 
 

@@ -164,7 +164,6 @@ def ivf_knn(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
 # -- LSH-bucketed variant (scale path) -------------------------------------
 
 _N_PLANES = 12
-_rs = np.random.RandomState(7)
 _PLANES_CACHE: dict[int, np.ndarray] = {}
 
 

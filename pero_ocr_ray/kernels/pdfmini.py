@@ -375,6 +375,7 @@ def pdf_blocks(raw: bytes) -> tuple[list[dict], str]:
                     continue
                 if tok == "Tf" and last_name is not None:
                     cur_font = fonts.get(last_name, DEFAULT_FONT)
+                    last_name = None
                 elif tok in ("Tj",) and pending:
                     text = cur_font.decode(pending[-1])
                     pieces.append((text, src_pos))
@@ -394,6 +395,10 @@ def pdf_blocks(raw: bytes) -> tuple[list[dict], str]:
                 elif tok in ("Td", "TD", "T*", "Tm") and pieces:
                     pieces.append(("\n", -1))
                 pending = []
+                # a /Name not consumed by the op that followed it is stale:
+                # a later nameless Tf must fall back to the current font,
+                # never bind a leftover name from an unrelated operator
+                last_name = None
             if not pieces:
                 continue
             dom_idx = len(blocks)

@@ -1,7 +1,7 @@
 """Text-analysis kernels: tokens, quality features, language ID,
 fingerprints, shingles, MinHash, SimHash.
 
-All hashing is process-independent (zlib.crc32 / hashlib / seeded numpy) —
+All hashing is process-independent (hashlib md5 / seeded numpy constants) —
 never Python's salted ``hash`` — so results are identical across Ray workers
 and the DuckDB/sequential oracles (determinism requirement).
 """
@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import numpy as np
 
@@ -93,9 +92,13 @@ def rolling_fingerprint(text: str, window: int = 64) -> int:
 
 
 def word_shingles(text: str, k: int = 3) -> set[str]:
+    """Distinct k-word shingles. Documents with fewer than ``k`` tokens have
+    NO shingles (empty set) — matching the SQL trigram oracle, which emits
+    nothing for <k-token docs. Near-dup operators therefore never pair
+    degenerate short/empty docs (exact dedup covers identical ones)."""
     toks = SHINGLE_RE.findall(text.lower())
     if len(toks) < k:
-        return {" ".join(toks)} if toks else set()
+        return set()
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
@@ -120,17 +123,28 @@ _MH_B = _rs.randint(0, _MH_P, size=NUM_PERM, dtype=np.uint64)
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """64-bit shingle hashes: first 16 hex chars of md5, read as uint64 —
+    the same convention :func:`simhash64` uses, reproducible in ANSI SQL
+    (``('0x' || substr(md5(s), 1, 16))::UBIGINT``) so the correctness
+    oracle can recompute MinHash signatures from scratch. Empty for docs
+    with no shingles (shorter than ``k`` tokens)."""
     sh = word_shingles(text, k)
-    if not sh:
-        return np.array([0], dtype=np.uint64)
-    return np.array(sorted(zlib.crc32(s.encode("utf-8")) for s in sh),
-                    dtype=np.uint64)
+    return np.array(
+        sorted(int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+               for s in sh),
+        dtype=np.uint64)
 
 
-def minhash_signature(text: str, k: int = 3) -> np.ndarray:
-    """NUM_PERM-wide MinHash signature (uint64) of the doc's word shingles."""
+def minhash_signature(text: str, k: int = 3) -> np.ndarray | None:
+    """NUM_PERM-wide MinHash signature (uint64) of the doc's word shingles;
+    ``None`` for docs with no shingles (they participate in no LSH bucket).
+
+    Per-perm value: ``(a*x + b) mod p`` with uint64 WRAPPING on the products
+    (numpy semantics); the SQL oracle mirrors the wrap explicitly with
+    ``% 2^64`` in HUGEINT arithmetic."""
     x = _shingle_hashes(text, k)
-    # (a * x + b) mod p, vectorized over perms × shingles
+    if x.size == 0:
+        return None
     vals = (_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % _MH_P
     return vals.min(axis=1)
 

@@ -142,11 +142,13 @@ def test_pagexml_file_corpus_roundtrip(tmp_path):
                    out.column("extracted_text").to_pylist()))
     want = dict(zip(golden.column("url").to_pylist(),
                     golden.column("extracted_text").to_pylist()))
-    # dup_url case: the file sink keeps one file per url (md5 name) — compare
-    # on the url set that survives the file write
-    assert set(got) == set(want) or set(got) <= set(want)
-    for url in got:
-        assert got[url] in (want[url],) or got[url] == want[url]
+    # 12 pages = catalog cases 0..11: no dup_url row, so every url must
+    # survive the file write and every text must round-trip exactly — a
+    # reader that drops or alters files fails here
+    assert len(want) == 12
+    assert set(got) == set(want)
+    for url in want:
+        assert got[url] == want[url]
 
 
 def test_compare_pagexml_dirs(tmp_path):
