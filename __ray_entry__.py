@@ -129,10 +129,29 @@ def _q_dedup_pages(sf_dir: str):
 
 
 def _q_merge_best(sf_dir: str):
-    """N-way merge: cases-vs-simple engines, keep best per url (rows-only)."""
+    """N-way merge (J2): two full extraction pipelines over the same url
+    set — engine B sees text doubled for even doc_ids (B must win) and
+    vowel-stripped for odd ones (A must win) — union + one url-keyed
+    groupby picks max chars with engine-order tie-break. SQL replays the
+    choice per url. (Stripped texts stay above page_min_chars at every sf,
+    so no page-drop divergence: min stripped length 31 > 25.)"""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pero_ocr_ray.pipelines.extract import extract_pipeline
     from pero_ocr_ray.pipelines.merge import merge_results
+    from pero_ocr_ray.sources.pages import pages_from_documents
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    txt = docs.column("text")
+    doubled = pc.binary_join_element_wise(txt, txt, pa.scalar(" "))
+    stripped = pc.replace_substring_regex(txt, "[aeiou]", "")
+    even = pc.equal(pc.bit_wise_and(docs.column("doc_id"), 1), 0)
+    docs_b = docs.set_column(docs.column_names.index("text"), "text",
+                             pc.if_else(even, doubled, stripped))
+    pages_b = pages_from_documents(docs_b, "simple")
     a = _extract(sf_dir, "simple").select_columns(["url", "extracted_text"])
-    b = _extract(sf_dir, "cases").select_columns(["url", "extracted_text"])
+    b = extract_pipeline(
+        rd.from_arrow(pages_b).repartition(max(2, pages_b.num_rows // 64)),
+        concurrency=_query_pool()).select_columns(["url", "extracted_text"])
     return merge_results([a, b])
 
 
@@ -551,7 +570,10 @@ def _q_merge_linewise(sf_dir: str):
 
 
 def _q_image_features(sf_dir: str):
-    """Multimodal plumbing over deterministic fake image payloads."""
+    """Multimodal decode + histogram over arithmetic fake image payloads
+    (pixel = (seed*37 + j*101) % 256): the distributed actor-pool decode
+    path is hash-verified against a DuckDB oracle that recomputes the
+    16-bin histogram from the same closed-form pixel fill."""
     from pero_ocr_ray.stages.multimodal import image_features, make_fake_image
     import pyarrow as pa
     ids = list(range(200))
@@ -560,21 +582,46 @@ def _q_image_features(sf_dir: str):
         "image": pa.array([make_fake_image(16, 12, 3, seed=i) for i in ids],
                           pa.binary()),
     })
-    return image_features(rd.from_arrow(tbl), concurrency=2)
+    feats = image_features(rd.from_arrow(tbl), concurrency=2)
+
+    def explode(t: pa.Table) -> pa.Table:
+        iid, w, h, c, bins, ns = [], [], [], [], [], []
+        for row in t.to_pylist():
+            for b, n in enumerate(row["hist_counts"]):
+                iid.append(row["item_id"])
+                w.append(row["width"]); h.append(row["height"])
+                c.append(row["channels"])
+                bins.append(b); ns.append(n)
+        return pa.table({
+            "item_id": pa.array(iid, pa.int64()),
+            "width": pa.array(w, pa.int64()),
+            "height": pa.array(h, pa.int64()),
+            "channels": pa.array(c, pa.int64()),
+            "bin": pa.array(bins, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    return feats.map_batches(explode, batch_format="pyarrow")
 
 
 def _q_audio_features(sf_dir: str):
+    """Audio decode + features over integer sawtooth waveforms
+    (x_t = (i*7 + t*13) % 24001 - 12000, 8 kHz): duration, exact integer
+    signal energy and zero-crossings hash-match a DuckDB oracle that
+    regenerates the same samples arithmetically — no float codec drift."""
     from pero_ocr_ray.stages.multimodal import audio_features, make_fake_audio
     import numpy as np
     import pyarrow as pa
     rows = []
     for i in range(100):
-        t = np.arange(4000)
-        wave = (np.sin(2 * np.pi * (100 + i) * t / 8000) * 12000).astype(np.int16)
+        t = np.arange(4000, dtype=np.int64)
+        wave = ((i * 7 + t * 13) % 24001 - 12000).astype(np.int16)
         rows.append(make_fake_audio(8000, wave))
     tbl = pa.table({"item_id": pa.array(list(range(100)), pa.int64()),
                     "audio": pa.array(rows, pa.binary())})
-    return audio_features(rd.from_arrow(tbl), concurrency=2)
+    return (audio_features(rd.from_arrow(tbl), concurrency=2)
+            .select_columns(["item_id", "duration_sec", "energy",
+                             "zero_crossings"]))
 
 
 def _q_page_xml_roundtrip(sf_dir: str):
@@ -618,21 +665,46 @@ def _q_alto_lines(sf_dir: str):
 
 
 def _q_image_resize(sf_dir: str):
-    """Multimodal resize over deterministic fake image payloads (real
-    nearest-neighbor math; toy codec)."""
+    """Multimodal nearest-neighbor resize (16x12 -> 8x6) over arithmetic
+    fake payloads; the output container is decoded back and reduced to a
+    position-weighted integer checksum, which a DuckDB oracle recomputes
+    from the closed-form pixel fill + the same index mapping
+    (ys = y*in_h//out_h, xs = x*in_w//out_w)."""
     import pyarrow as pa
-    from pero_ocr_ray.stages.multimodal import make_fake_image, resize_images
+    from pero_ocr_ray.stages.multimodal import (
+        _decode_image, make_fake_image, resize_images,
+    )
     ids = list(range(200))
     tbl = pa.table({
         "item_id": pa.array(ids, pa.int64()),
         "image": pa.array([make_fake_image(16, 12, 3, seed=i) for i in ids],
                           pa.binary()),
     })
-    return resize_images(rd.from_arrow(tbl), 8, 6, concurrency=2)
+    resized = resize_images(rd.from_arrow(tbl), 8, 6, concurrency=2)
+
+    def checksum(t: pa.Table) -> pa.Table:
+        import numpy as np
+        iid, ws, hs, cks = [], [], [], []
+        for row in t.to_pylist():
+            img = _decode_image(row["image"])
+            flat = img.reshape(-1).astype(np.int64)
+            iid.append(row["item_id"])
+            hs.append(img.shape[0]); ws.append(img.shape[1])
+            cks.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+        return pa.table({
+            "item_id": pa.array(iid, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "checksum": pa.array(cks, pa.int64()),
+        })
+
+    return resized.map_batches(checksum, batch_format="pyarrow")
 
 
 def _q_video_frames(sf_dir: str):
-    """Video frame sampling (every 4th frame) over fake video payloads."""
+    """Video frame sampling (every 4th frame) over arithmetic fake video
+    payloads; per-frame exact integer pixel sums hash-match a DuckDB
+    oracle regenerating the same frames."""
     import pyarrow as pa
     from pero_ocr_ray.stages.multimodal import (
         make_fake_video, video_frame_samples,
@@ -643,12 +715,18 @@ def _q_video_frames(sf_dir: str):
         "video": pa.array([make_fake_video(8, 6, 12, seed=i) for i in ids],
                           pa.binary()),
     })
-    return video_frame_samples(rd.from_arrow(tbl), every_k=4, concurrency=2)
+    return (video_frame_samples(rd.from_arrow(tbl), every_k=4, concurrency=2)
+            .select_columns(["item_id", "frame_idx", "frame_sum"]))
 
 
 def _q_page_quality(sf_dir: str):
+    """Page quality (G2): power-mean (p=6) of kept-block logistic
+    confidences over a multi-block corpus (10-token <p> chunks per doc).
+    The SQL oracle recomputes scores, keep/edge/page filters, and the
+    power mean from scratch; floor(q*1e6) int64 makes the hash gate immune
+    to last-ulp libm drift."""
     from pero_ocr_ray.functions.quality import page_quality
-    return page_quality(_extract(sf_dir, "cases"))
+    return page_quality(_pages(sf_dir, "chunks"), concurrency=_query_pool())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -782,6 +860,49 @@ def _fingerprint_sql() -> str:
         allfp AS (SELECT * FROM longfp UNION ALL SELECT * FROM shortfp)
         SELECT d.doc_id, COALESCE(allfp.fingerprint, 0) AS fingerprint
         FROM documents d LEFT JOIN allfp ON d.doc_id = allfp.doc_id"""
+
+
+def _page_quality_sql() -> str:
+    """SQL mirror of PageQualityStage over the 'chunks' template: 10-token
+    <p> chunks -> block score ln(1+n_chars) + content bonus (depth 4 is
+    under the soft-depth limit; no links, no boilerplate) -> keep mask with
+    the edge filter (first/last chunk short and non-heading) and the
+    whole-page minimum -> logistic confidence -> power mean p=6 ->
+    floor(q * 1e6)."""
+    from pero_ocr_ray.kernels.config import DEFAULT_CONFIG as C
+    return rf"""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(text, '\S+') AS toks
+                   FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS w,
+                       generate_subscripts(toks, 1) AS i FROM t),
+        chunk AS (SELECT doc_id, (i - 1) // 10 AS ci,
+                         length(string_agg(w, ' ' ORDER BY i)) AS n_chars
+                  FROM tok GROUP BY doc_id, (i - 1) // 10),
+        feat AS (SELECT doc_id, ci, n_chars,
+                        max(ci) OVER (PARTITION BY doc_id) AS last_ci,
+                        {C.len_weight} * ln(1.0 + n_chars)
+                            + {C.kind_bonus_content} AS score
+                 FROM chunk),
+        kept AS (SELECT doc_id, ci, n_chars, score,
+                        (score >= {C.score_threshold}
+                         AND NOT ((ci = 0 OR ci = last_ci)
+                                  AND n_chars < {C.edge_min_chars})) AS keep
+                 FROM feat),
+        page AS (SELECT doc_id,
+                        max(CASE WHEN keep AND n_chars >= {C.page_min_chars}
+                                 THEN 1 ELSE 0 END) AS page_ok
+                 FROM kept GROUP BY doc_id),
+        conf AS (SELECT k.doc_id, 1.0 / (1.0 + exp(-k.score)) AS c
+                 FROM kept k JOIN page p ON p.doc_id = k.doc_id
+                 WHERE k.keep AND p.page_ok = 1),
+        q AS (SELECT doc_id,
+                     pow(SUM(pow(c, 6)) / COUNT(*), 1.0 / 6.0) AS quality
+              FROM conf GROUP BY doc_id)
+        SELECT {_URL_SQL.replace("doc_id", "d.doc_id")} AS url,
+               CAST(floor(COALESCE(q.quality, 0.0) * 1000000) AS BIGINT)
+                   AS quality_e6
+        FROM documents d LEFT JOIN q ON q.doc_id = d.doc_id"""
 
 
 def _minhash_sql(threshold: float = 0.7) -> str:
@@ -938,6 +1059,85 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= 0.6""",
         "simhash_signatures": _SIMHASH_SQL,
         "minhash_near_dup_pairs": _minhash_sql(0.7),
+        "page_quality": _page_quality_sql(),
+        "merge_best": rf"""
+            WITH a AS (SELECT doc_id, {_URL_SQL} AS url,
+                              {_CANON_SQL} AS ta
+                       FROM documents),
+            b AS (SELECT doc_id,
+                         CASE WHEN doc_id % 2 = 0
+                              THEN trim(regexp_replace(text || ' ' || text,
+                                                       '\s+', ' ', 'g'))
+                              ELSE trim(regexp_replace(
+                                       regexp_replace(text, '[aeiou]', '',
+                                                      'g'),
+                                       '\s+', ' ', 'g'))
+                         END AS tb
+                  FROM documents)
+            SELECT a.url,
+                   CASE WHEN length(b.tb) > length(a.ta) THEN b.tb
+                        ELSE a.ta END AS extracted_text,
+                   CAST(CASE WHEN length(b.tb) > length(a.ta) THEN 1
+                             ELSE 0 END AS BIGINT) AS engine_rank
+            FROM a JOIN b ON a.doc_id = b.doc_id""",
+        # Multimodal oracles: the fake containers are filled with the
+        # closed-form pixel/sample formulas below, so DuckDB regenerates the
+        # payload content arithmetically and checks the distributed
+        # decode/feature path exactly (no parquet views needed).
+        "image_features": """
+            WITH px AS (
+                SELECT i.range AS item_id,
+                       ((i.range * 37 + j.range * 101) % 256) // 16 AS bin
+                FROM range(200) i CROSS JOIN range(576) j),
+            c AS (SELECT item_id, bin, count(*) AS n
+                  FROM px GROUP BY item_id, bin),
+            grid AS (SELECT i.range AS item_id, b.range AS bin
+                     FROM range(200) i CROSS JOIN range(16) b)
+            SELECT g.item_id, CAST(16 AS BIGINT) AS width,
+                   CAST(12 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+                   g.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM grid g LEFT JOIN c
+              ON c.item_id = g.item_id AND c.bin = g.bin""",
+        "image_resize": """
+            WITH o AS (
+                SELECT i.range AS item_id, y.range AS y, x.range AS x,
+                       ch.range AS ch
+                FROM range(200) i CROSS JOIN range(6) y
+                CROSS JOIN range(8) x CROSS JOIN range(3) ch),
+            v AS (SELECT item_id, y * 24 + x * 3 + ch AS k,
+                         (item_id * 37
+                          + ((y * 2) * 48 + (x * 2) * 3 + ch) * 101) % 256
+                             AS val
+                  FROM o)
+            SELECT item_id, CAST(8 AS BIGINT) AS width,
+                   CAST(6 AS BIGINT) AS height,
+                   CAST(SUM(val * (k + 1)) AS BIGINT) AS checksum
+            FROM v GROUP BY item_id""",
+        "video_frame_samples": """
+            WITH f AS (SELECT i.range AS item_id, fj.range * 4 AS frame_idx
+                       FROM range(60) i CROSS JOIN range(3) fj),
+            v AS (SELECT item_id, frame_idx,
+                         (item_id * 37
+                          + (frame_idx * 144 + p.range) * 101) % 256 AS val
+                  FROM f CROSS JOIN range(144) p)
+            SELECT item_id, frame_idx, CAST(SUM(val) AS BIGINT) AS frame_sum
+            FROM v GROUP BY item_id, frame_idx""",
+        "audio_features": """
+            WITH s AS (SELECT i.range AS item_id, t.range AS t,
+                              ((i.range * 7 + t.range * 13) % 24001) - 12000
+                                  AS x
+                       FROM range(100) i CROSS JOIN range(4000) t),
+            d AS (SELECT item_id, t, x,
+                         CASE WHEN x < 0 THEN 1 ELSE 0 END AS neg,
+                         lag(CASE WHEN x < 0 THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY item_id ORDER BY t) AS pneg
+                  FROM s)
+            SELECT item_id, 0.5 AS duration_sec,
+                   CAST(SUM(x * x) AS BIGINT) AS energy,
+                   CAST(SUM(CASE WHEN pneg IS NULL THEN 0
+                                 ELSE ABS(neg - pneg) END) AS BIGINT)
+                       AS zero_crossings
+            FROM d GROUP BY item_id""",
         "doc_fingerprints": _fingerprint_sql(),
         "embedding_near_dup": """
             WITH emb2 AS (

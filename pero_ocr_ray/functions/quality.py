@@ -1,9 +1,13 @@
 """Quality metrics over extraction outputs.
 
-* ``page_quality``: power-mean (p=6) of per-block keep-scores — the analog
-  of the reference's page confidence summary
-  (/root/reference/pero_ocr/core/layout.py:778-847, power-mean over word
-  confidences).
+* ``page_quality``: power-mean (p=6) of per-block logistic confidences over
+  the KEPT blocks of each page — the analog of the reference's page
+  confidence summary (/root/reference/pero_ocr/core/layout.py:778-847,
+  power-mean over word confidences with a bbox filter; here the keep mask
+  is the filter and the block keep-score is the confidence source). Runs
+  the parse→segment→classify kernels directly over the pages table (the
+  reference's ``get_quality`` is likewise computed from the layout tree,
+  not from the emitted text).
 * ``compare_runs`` / ``compare_extractions``: corpus CER/WER between two
   extraction runs — the compare_txt / error_summary analog
   (/root/reference/user_scripts/compare_txt.py:59-169,
@@ -33,16 +37,50 @@ def power_mean(values: list[float], p: int = 6) -> float:
     return (sum(v ** p for v in values) / len(values)) ** (1.0 / p)
 
 
-def page_quality(extracted: rd.Dataset, p: int = 6) -> rd.Dataset:
-    """-> (url, quality): power-mean of kept-block share signals per page."""
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        quality = []
-        for m in df["metrics"]:
-            total = max(1, m["blocks_total"])
-            kept_share = m["blocks_kept"] / total
-            quality.append(round(power_mean([kept_share], p), 6))
-        return pd.DataFrame({"url": df["url"], "quality": quality})
-    return extracted.map_batches(fn, batch_format="pandas")
+class PageQualityStage:
+    """Actor-pool stage: pages (url, html) -> (url, quality_e6).
+
+    Per row: parse → segment → classify (the same shared kernels the
+    extraction chain runs), then power-mean the kept blocks' logistic
+    confidences (:func:`pero_ocr_ray.kernels.score.page_quality_score`).
+    Emitted as ``floor(quality * 1e6)`` int64 so the correctness gate's
+    value hash is immune to last-ulp libm differences vs the SQL oracle."""
+
+    def __init__(self, cfg: dict | None = None, p: int = 6):
+        from pero_ocr_ray.kernels.config import ExtractConfig
+        self.cfg = ExtractConfig(**cfg) if cfg else ExtractConfig()
+        self.p = p
+
+    def __call__(self, batch):
+        import math
+        import pyarrow as pa
+        from pero_ocr_ray.kernels.emit import parse_payload, segment_blocks
+        from pero_ocr_ray.kernels.score import (
+            classify_blocks, page_quality_score,
+        )
+        urls, quals = [], []
+        for url, raw in zip(batch.column("url").to_pylist(),
+                            batch.column("html").to_pylist()):
+            try:
+                blocks, _, _, _ = parse_payload(raw, self.cfg)
+                segment_blocks(blocks)
+                classify_blocks(blocks, self.cfg)
+                q = page_quality_score(blocks, self.p)
+            except Exception:  # skip-and-continue: poison row -> quality 0
+                q = 0.0
+            urls.append(url)
+            quals.append(int(math.floor(q * 1_000_000)))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "quality_e6": pa.array(quals, pa.int64())})
+
+
+def page_quality(pages: rd.Dataset, p: int = 6,
+                 concurrency: int = 2) -> rd.Dataset:
+    """-> (url, quality_e6): per-page quality power-mean over a pages table
+    (url, html). See :class:`PageQualityStage`."""
+    return pages.map_batches(
+        PageQualityStage, fn_constructor_kwargs={"p": p},
+        batch_format="pyarrow", concurrency=concurrency)
 
 
 def _normalize_ws(text: str) -> str:

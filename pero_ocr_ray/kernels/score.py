@@ -65,3 +65,26 @@ def classify_blocks(blocks: list[dict], cfg: ExtractConfig = DEFAULT_CONFIG) -> 
     if not any(b["keep"] and b["n_chars"] >= cfg.page_min_chars for b in blocks):
         for b in blocks:
             b["keep"] = False
+
+
+def block_confidence(score: float) -> float:
+    """Map the unbounded linear keep-score to a (0,1) confidence (logistic)
+    — the per-block analog of the reference's word confidences feeding the
+    page quality summary (/root/reference/pero_ocr/core/layout.py:778-847)."""
+    return 1.0 / (1.0 + math.exp(-score))
+
+
+def page_quality_score(blocks: list[dict], p: int = 6) -> float:
+    """Page quality: power-mean (default p=6, the reference's exponent) of
+    the kept blocks' confidences — emphasises the strongest blocks, exactly
+    as the reference's power-mean over word confidences does
+    (/root/reference/pero_ocr/core/layout.py:778-847, the ``get_quality``
+    bbox-filtered power mean). 0.0 when nothing is kept (dropped page).
+
+    Shared verbatim by the Ray stage and the SQL oracle mirror (which
+    recomputes ln/exp/pow in DuckDB); callers serialize as
+    ``floor(q * 1e6)`` so the hash gate is float-rounding-proof."""
+    confs = [block_confidence(b["score"]) for b in blocks if b.get("keep")]
+    if not confs:
+        return 0.0
+    return (sum(c ** p for c in confs) / len(confs)) ** (1.0 / p)

@@ -132,11 +132,25 @@ def extract_pipeline(ds: rd.Dataset, cfg: ExtractConfig = DEFAULT_CONFIG,
 # ---------------------------------------------------------------------------
 
 
+def _norm_source(path: str) -> str:
+    """Canonical identity of one input file (symlink- and cwd-independent)."""
+    return os.path.realpath(path)
+
+
+def _covered_sources(manifest: Manifest) -> dict[str, str]:
+    """Normalized source file -> partition key, across committed records."""
+    covered: dict[str, str] = {}
+    for rec in manifest.records():
+        for p in rec.get("source_files", []):
+            covered[_norm_source(p)] = rec.get("partition", "?")
+    return covered
+
+
 def _partition_key(paths: list[str]) -> str:
     """Content-derived partition key: stable under reordering / insertion of
     other input files (a positional ``part={pid}`` key silently skips or
     mis-attributes work when the file list changes between runs)."""
-    norm = [os.path.abspath(p) for p in paths]
+    norm = [_norm_source(p) for p in paths]
     digest = hashlib.md5("\n".join(norm).encode()).hexdigest()[:10]
     stem = os.path.splitext(os.path.basename(paths[0]))[0]
     stem = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in stem)[:40]
@@ -173,6 +187,13 @@ def run_job(input_paths: list[str] | str, out_dir: str,
     groups = [list(input_paths[i:i + k]) for i in range(0, len(input_paths), k)]
     manifest = Manifest(out_dir)
     done = manifest.completed()
+    # Coverage is tracked at SOURCE-FILE granularity, not just partition-key:
+    # a manifest written with a different files_per_partition, path spelling,
+    # or cwd yields different keys for the same files — trusting keys alone
+    # would re-extract committed files under new keys and read_job_output
+    # would return both copies (silent row duplication). A group whose key
+    # is unknown but whose files overlap committed work is a hard error.
+    covered = _covered_sources(manifest)
     stats = {"partitions_total": len(groups), "partitions_skipped": 0,
              "partitions_done": 0, "rows": 0}
     for paths in groups:
@@ -180,6 +201,16 @@ def run_job(input_paths: list[str] | str, out_dir: str,
         if key in done:
             stats["partitions_skipped"] += 1
             continue
+        overlap = {p: covered[_norm_source(p)] for p in paths
+                   if _norm_source(p) in covered}
+        if overlap:
+            raise ValueError(
+                f"resume mismatch: partition {key!r} is not in the manifest "
+                f"but its source files were already committed under other "
+                f"keys {sorted(set(overlap.values()))} ({sorted(overlap)}). "
+                f"This happens when files_per_partition or the input path "
+                f"spelling changed between runs; rerun with the original "
+                f"grouping or point at a fresh out_dir.")
         ds = rd.read_parquet(paths)
         out = extract_pipeline(ds, cfg, mode=mode, concurrency=concurrency)
         tmp = os.path.join(out_dir, f"_tmp_{key}")
@@ -191,7 +222,8 @@ def run_job(input_paths: list[str] | str, out_dir: str,
             import shutil
             shutil.rmtree(final)
         os.rename(tmp, final)
-        manifest.commit(key, {"source_files": paths, "rows": n_rows})
+        manifest.commit(key, {"source_files": [_norm_source(p) for p in paths],
+                              "rows": n_rows})
         stats["partitions_done"] += 1
         stats["rows"] += n_rows
         if fail_after is not None and stats["partitions_done"] >= fail_after:
@@ -200,8 +232,22 @@ def run_job(input_paths: list[str] | str, out_dir: str,
 
 
 def read_job_output(out_dir: str) -> rd.Dataset:
-    """Read back a job's committed output partitions."""
+    """Read back a job's committed output partitions.
+
+    Refuses manifests in which two committed partitions cover the same
+    source file (possible only if the directory accumulated runs with
+    different groupings — reading it would silently duplicate rows)."""
     manifest = Manifest(out_dir)
+    seen: dict[str, str] = {}
+    for rec in manifest.records():
+        for p in rec.get("source_files", []):
+            src = _norm_source(p)
+            if src in seen and seen[src] != rec.get("partition"):
+                raise ValueError(
+                    f"manifest corrupt: source file {src!r} is covered by "
+                    f"both {seen[src]!r} and {rec.get('partition')!r}; "
+                    f"reading would duplicate its rows")
+            seen[src] = rec.get("partition")
     files = []
     for p in sorted(manifest.completed()):
         d = os.path.join(out_dir, p)

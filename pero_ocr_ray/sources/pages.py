@@ -237,7 +237,10 @@ def pages_from_documents(documents: pa.Table, template: str = "simple") -> pa.Ta
     ``template='simple'`` wraps each document's text in a single
     ``<article><p>…</p></article>`` (no boilerplate) so the extraction result
     is exactly the whitespace-canonicalized document text — SQL-expressible
-    for the correctness oracle. ``template='cases'`` cycles the full case
+    for the correctness oracle. ``template='chunks'`` splits the text into
+    10-token paragraphs, one ``<p>`` each — a MULTI-block page whose
+    per-block features (and hence classifier scores / page quality) are
+    still SQL-expressible. ``template='cases'`` cycles the full case
     catalog, seeded per ``doc_id``: the html payload is synthetic case
     content (NOT the document text) sharing only the url/row_id keys — it
     exists to exercise merge/compare plumbing across two runs of the same
@@ -254,6 +257,12 @@ def pages_from_documents(documents: pa.Table, template: str = "simple") -> pa.Ta
         if template == "simple":
             doc = (f"<html><body><article><p>{html_mod.escape(text)}</p>"
                    f"</article></body></html>")
+            htmls.append(doc.encode())
+        elif template == "chunks":
+            toks = text.split()
+            paras = [" ".join(toks[j:j + 10]) for j in range(0, len(toks), 10)]
+            body = "".join(f"<p>{html_mod.escape(p)}</p>" for p in paras)
+            doc = f"<html><body><article>{body}</article></body></html>"
             htmls.append(doc.encode())
         else:
             rng = random.Random(777 + did)

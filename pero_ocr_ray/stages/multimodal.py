@@ -28,10 +28,17 @@ IMG_MAGIC = b"FAKEIMG"
 AUD_MAGIC = b"FAKEAUD"
 
 
+def fake_pixels(n: int, seed: int = 0) -> np.ndarray:
+    """Deterministic arithmetic pixel fill ``(seed*37 + j*101) % 256`` —
+    no RNG, and trivially recomputable in SQL so multimodal stages can be
+    hash-verified against a DuckDB oracle end-to-end."""
+    return ((seed * 37 + np.arange(n, dtype=np.int64) * 101) % 256
+            ).astype(np.uint8)
+
+
 def make_fake_image(width: int, height: int, channels: int = 3,
                     seed: int = 0) -> bytes:
-    rng = np.random.RandomState(seed)
-    pixels = rng.randint(0, 256, size=width * height * channels, dtype=np.uint8)
+    pixels = fake_pixels(width * height * channels, seed)
     head = (IMG_MAGIC + np.uint16(width).tobytes() + np.uint16(height).tobytes()
             + np.uint8(channels).tobytes())
     return head + pixels.tobytes()
@@ -72,19 +79,20 @@ class ImageFeatureStage:
         self.proj = rng.randn(16, self.EMBED_DIM)  # the warm "model"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, widths, heights, channels, hists, embeds, errors = \
-            [], [], [], [], [], [], []
+        ids, widths, heights, channels, counts, hists, embeds, errors = \
+            [], [], [], [], [], [], [], []
         for item_id, raw in zip(batch.column("item_id").to_pylist(),
                                 batch.column("image").to_pylist()):
             ids.append(item_id)
             try:
                 img = _decode_image(raw)
-                hist = np.bincount(img.reshape(-1) >> 4, minlength=16
-                                   ).astype(np.float64)
+                cnt = np.bincount(img.reshape(-1) >> 4, minlength=16)
+                hist = cnt.astype(np.float64)
                 hist /= max(1.0, hist.sum())
                 widths.append(img.shape[1])
                 heights.append(img.shape[0])
                 channels.append(img.shape[2])
+                counts.append(cnt.astype(np.int64).tolist())
                 hists.append(hist.tolist())
                 embeds.append((hist @ self.proj).tolist())
                 errors.append("")
@@ -92,6 +100,7 @@ class ImageFeatureStage:
                 # skip-and-continue: truncated/corrupt payloads (ValueError
                 # from frombuffer/reshape) degrade to an error row too.
                 widths.append(0); heights.append(0); channels.append(0)
+                counts.append([0] * 16)
                 hists.append([0.0] * 16)
                 embeds.append([0.0] * self.EMBED_DIM)
                 errors.append(f"decode_failed: {type(e).__name__}: {e}")
@@ -100,6 +109,9 @@ class ImageFeatureStage:
             "width": pa.array(widths, pa.int32()),
             "height": pa.array(heights, pa.int32()),
             "channels": pa.array(channels, pa.int32()),
+            # exact integer 16-bin histogram (pixel >> 4): the SQL-checkable
+            # projection of the float feature below
+            "hist_counts": pa.array(counts, pa.list_(pa.int64(), 16)),
             "histogram": pa.array(hists, pa.list_(pa.float64(), 16)),
             "embedding": pa.array(embeds, pa.list_(pa.float64(), self.EMBED_DIM)),
             "error": pa.array(errors, pa.string()),
@@ -110,7 +122,7 @@ class AudioFeatureStage:
     """Actor pool: decode audio binary -> duration / rms / zero-crossings."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, durs, rmss, zcrs, errors = [], [], [], [], []
+        ids, durs, rmss, energies, zcrs, errors = [], [], [], [], [], []
         for item_id, raw in zip(batch.column("item_id").to_pylist(),
                                 batch.column("audio").to_pylist()):
             ids.append(item_id)
@@ -119,15 +131,20 @@ class AudioFeatureStage:
                 xf = x.astype(np.float64) / 32768.0
                 durs.append(len(x) / sr if sr else 0.0)
                 rmss.append(float(np.sqrt(np.mean(xf ** 2))) if len(x) else 0.0)
+                # exact integer signal energy: sum of squared int16 samples
+                # (the SQL-checkable projection of rms)
+                energies.append(int(np.sum(x.astype(np.int64) ** 2)))
                 zcrs.append(int(np.sum(np.abs(np.diff(np.signbit(xf))))))
                 errors.append("")
             except Exception as e:
-                durs.append(0.0); rmss.append(0.0); zcrs.append(0)
+                durs.append(0.0); rmss.append(0.0); energies.append(0)
+                zcrs.append(0)
                 errors.append(f"decode_failed: {type(e).__name__}: {e}")
         return pa.table({
             "item_id": pa.array(ids, pa.int64()),
             "duration_sec": pa.array(durs, pa.float64()),
             "rms": pa.array(rmss, pa.float64()),
+            "energy": pa.array(energies, pa.int64()),
             "zero_crossings": pa.array(zcrs, pa.int64()),
             "error": pa.array(errors, pa.string()),
         })
@@ -138,10 +155,7 @@ VID_MAGIC = b"FAKEVID"
 
 def make_fake_video(width: int, height: int, n_frames: int,
                     channels: int = 3, seed: int = 0) -> bytes:
-    rng = np.random.RandomState(seed)
-    frames = rng.randint(0, 256,
-                         size=n_frames * width * height * channels,
-                         dtype=np.uint8)
+    frames = fake_pixels(n_frames * width * height * channels, seed)
     head = (VID_MAGIC + np.uint16(width).tobytes()
             + np.uint16(height).tobytes() + np.uint8(channels).tobytes()
             + np.uint16(n_frames).tobytes())
@@ -208,7 +222,7 @@ class VideoFrameSampleStage:
         self.k = max(1, every_k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, fidx, means, errors = [], [], [], []
+        ids, fidx, sums, means, errors = [], [], [], [], []
         for item_id, raw in zip(batch.column("item_id").to_pylist(),
                                 batch.column("video").to_pylist()):
             try:
@@ -216,16 +230,21 @@ class VideoFrameSampleStage:
                 for j in range(0, frames.shape[0], self.k):
                     ids.append(item_id)
                     fidx.append(j)
+                    # exact integer pixel sum (SQL-checkable); the float
+                    # mean derives from it
+                    sums.append(int(frames[j].astype(np.int64).sum()))
                     means.append(float(frames[j].mean()))
                     errors.append("")
             except Exception as e:
                 ids.append(item_id)
                 fidx.append(-1)
+                sums.append(0)
                 means.append(0.0)
                 errors.append(f"decode_failed: {type(e).__name__}: {e}")
         return pa.table({
             "item_id": pa.array(ids, pa.int64()),
             "frame_idx": pa.array(fidx, pa.int64()),
+            "frame_sum": pa.array(sums, pa.int64()),
             "frame_mean": pa.array(means, pa.float64()),
             "error": pa.array(errors, pa.string()),
         })

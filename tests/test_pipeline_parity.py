@@ -158,3 +158,48 @@ def test_run_job_keys_follow_source_paths(tmp_path, pages):
     assert stats2["partitions_done"] == 1      # shard_a is processed
     tbl = dataset_to_table(read_job_output(out_dir))
     assert tbl.num_rows == n
+
+
+def test_run_job_rejects_regrouped_resume(tmp_path, pages):
+    """Resuming with a different files_per_partition must hard-error, not
+    silently re-extract committed source files under new partition keys."""
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    import pyarrow.parquet as pq
+    n = pages.num_rows
+    paths = []
+    for k in range(4):
+        p = str(in_dir / f"shard_{k}.parquet")
+        pq.write_table(pages.slice(k * n // 4, n // 4), p)
+        paths.append(p)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_job(paths, out_dir, concurrency=2, fail_after=1)
+    # same files, different grouping: keys differ but files overlap
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_job(paths, out_dir, concurrency=2, files_per_partition=2)
+    # the original grouping still resumes cleanly
+    stats = run_job(paths, out_dir, concurrency=2)
+    assert stats["partitions_skipped"] == 1
+    assert stats["partitions_done"] == 3
+    assert dataset_to_table(read_job_output(out_dir)).num_rows == n
+
+
+def test_read_job_output_rejects_overlapping_manifest(tmp_path, pages):
+    """A manifest whose records cover one source file twice (accumulated
+    runs with different groupings) must refuse to read, not duplicate rows."""
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    import pyarrow.parquet as pq
+    p = str(in_dir / "shard.parquet")
+    pq.write_table(pages.slice(0, 8), p)
+    run_job([p], out_dir, concurrency=2)
+    from pero_ocr_ray.state.manifest import Manifest
+    m = Manifest(out_dir)
+    rec = m.records()[0]
+    m.commit("part-forged-0000000000", {"source_files": rec["source_files"],
+                                        "rows": rec["rows"]})
+    os.makedirs(os.path.join(out_dir, "part-forged-0000000000"), exist_ok=True)
+    with pytest.raises(ValueError, match="manifest corrupt"):
+        read_job_output(out_dir)
