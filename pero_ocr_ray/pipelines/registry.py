@@ -95,6 +95,18 @@ def _to_alto(ds, cfg: ExtractConfig, min_line_confidence: float = 0.0, **_):
         batch_format="pyarrow", batch_size=cfg.vector_batch_size)
 
 
+@register_stage("to_alto_aligned")
+def _to_alto_aligned(ds, cfg: ExtractConfig,
+                     min_line_confidence: float = 0.0, **_):
+    """ALTO v2 with WC word confidences from CTC Viterbi forced alignment
+    (F2 wired into W2; kernels/ctc_align.py)."""
+    from pero_ocr_ray.sources.pagexml import to_alto_aligned_stage
+    return ds.map_batches(
+        functools.partial(to_alto_aligned_stage, cfg=cfg,
+                          min_line_confidence=min_line_confidence),
+        batch_format="pyarrow", batch_size=cfg.vector_batch_size)
+
+
 @register_stage("checkpoint")
 def _checkpoint(ds, cfg: ExtractConfig, path: str = "", **_):
     """Write the current intermediate table to parquet and continue from the

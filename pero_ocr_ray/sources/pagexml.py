@@ -253,12 +253,83 @@ def _parse_page_custom(s: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def page_to_alto(row: dict, min_line_confidence: float = 0.0) -> str:
+def _line_lattice(text: str, letters: list[str], salt: str):
+    """Deterministic per-char confidence lattice for forced alignment: like
+    kernels.beam.text_to_lattice but with md5-derived PER-CHAR noise (each
+    character's dominant-class mass differs), so aligned confidences vary
+    within a line the way real model posteriors do. Char frame + blank
+    frame per character; log-probabilities; blank = last letter."""
+    import hashlib
+    import numpy as np
+    blank = len(letters) - 1
+    index = {c: i for i, c in enumerate(letters)}
+    frames = []
+    for pos, ch in enumerate(text):
+        c = index[ch]
+        digest = hashlib.md5(f"{salt}:{pos}:{ch}".encode()).digest()
+        alt = digest[0] % blank
+        noise = 0.05 + (digest[1] % 40) / 100.0   # 0.05 .. 0.44 per char
+        p = np.full(len(letters), 1e-9)
+        if alt == c:
+            p[c] = 1.0
+        else:
+            p[c] = 1.0 - noise
+            p[alt] = noise
+        p /= p.sum()
+        frames.append(np.log(p))
+        pb = np.full(len(letters), 1e-9)
+        pb[blank] = 1.0
+        pb /= pb.sum()
+        frames.append(np.log(pb))
+    return np.asarray(frames)
+
+
+def aligned_line_confidences(row: dict) -> dict:
+    """Per-line per-character confidences via CTC Viterbi forced alignment
+    (F2 — the ALTO confidence source the reference computes at
+    /root/reference/pero_ocr/core/layout.py:491-540 with ``align_text``):
+    each kept line's text is aligned against its deterministic confidence
+    lattice, and each character's confidence is its class probability at
+    the best aligned frame. -> {(block_id, line_idx): np.ndarray}."""
+    from pero_ocr_ray.kernels.beam import BLANK
+    from pero_ocr_ray.kernels.ctc_align import ctc_char_confidences
+    out = {}
+    for b in row["blocks"]:
+        if not b.get("keep"):
+            continue
+        for j, (text, _s0, _s1) in enumerate(b.get("lines") or []):
+            if not text or text.strip() == "":
+                continue
+            letters = sorted(set(text)) + [BLANK]
+            lattice = _line_lattice(
+                text, letters, f"{row['url']}:{b['block_id']}:{j}")
+            index = {c: i for i, c in enumerate(letters)}
+            symbols = [index[ch] for ch in text]
+            out[(b["block_id"], j)] = ctc_char_confidences(
+                -lattice, symbols, len(letters) - 1)
+    return out
+
+
+def _word_confidence(confs, start: int, length: int) -> float:
+    """Median of one word's aligned char confidences (the reference's
+    .50-quantile per word, layout.py:540)."""
+    import numpy as np
+    return float(np.quantile(confs[start:start + length], .50))
+
+
+def page_to_alto(row: dict, min_line_confidence: float = 0.0,
+                 line_confidences: dict | None = None) -> str:
     """Document row -> ALTO v2 string (kept blocks in reading order), the
     analog of layout.py:400-597: Description/Layout/Page with margins +
     PrintSpace accumulated from block rects, TextBlock/TextLine/String/SP
     with word geometry and WC word confidences; empty lines are skipped and
-    ``min_line_confidence`` drops low-confidence lines (same parameter)."""
+    ``min_line_confidence`` drops low-confidence lines (same parameter).
+
+    ``line_confidences`` (from :func:`aligned_line_confidences`) supplies
+    per-char CTC-aligned confidences keyed by (block_id, line_idx): when a
+    line has them, WC per word is the word's median char confidence and the
+    line gate uses the line's median — otherwise the block keep-score is
+    used for both (the no-logits fallback)."""
     blocks = [b for b in row["blocks"]
               if b.get("keep") and b.get("order") is not None]
     blocks.sort(key=lambda b: b["order"])
@@ -309,7 +380,10 @@ def page_to_alto(row: dict, min_line_confidence: float = 0.0) -> str:
         for j, (text, s0, s1) in enumerate(b.get("lines") or []):
             if not text or text.strip() == "":
                 continue  # reference: empty transcriptions are not exported
-            if score < min_line_confidence:
+            confs = (line_confidences or {}).get((b["block_id"], j))
+            line_conf = (_word_confidence(confs, 0, len(confs))
+                         if confs is not None else score)
+            if line_conf < min_line_confidence:
                 continue
             tl = ET.SubElement(tb, "TextLine")
             tl.set("BASELINE", str(y0))
@@ -328,7 +402,9 @@ def page_to_alto(row: dict, min_line_confidence: float = 0.0) -> str:
                     st.set("WIDTH", str(len(word)))
                     st.set("VPOS", str(y0))
                     st.set("HPOS", str(base + pos))
-                    st.set("WC", str(round(score, 2)))
+                    wc = (_word_confidence(confs, pos, len(word))
+                          if confs is not None else score)
+                    st.set("WC", str(round(wc, 2)))
                 pos += len(word)
                 if w != len(words) - 1:
                     sp = ET.SubElement(tl, "SP")
@@ -442,6 +518,20 @@ def to_alto_stage(batch: pa.Table, cfg=None,
     cols = _passthrough(batch)
     cols["alto"] = pa.array(
         [page_to_alto(r, min_line_confidence) for r in rows], pa.string())
+    return pa.table(cols)
+
+
+def to_alto_aligned_stage(batch: pa.Table, cfg=None,
+                          min_line_confidence: float = 0.0) -> pa.Table:
+    """ALTO writer with CTC-aligned word confidences: WC values come from
+    Viterbi forced alignment of each line against its confidence lattice
+    (:func:`aligned_line_confidences`) instead of the block keep-score."""
+    from pero_ocr_ray.stages.extract import _passthrough
+    rows = _rows_from_blocks_batch(batch)
+    cols = _passthrough(batch)
+    cols["alto"] = pa.array(
+        [page_to_alto(r, min_line_confidence, aligned_line_confidences(r))
+         for r in rows], pa.string())
     return pa.table(cols)
 
 
