@@ -216,6 +216,74 @@ def _q_jaccard_pairs(sf_dir: str):
     return jaccard_near_dup_pairs(rd.from_arrow(both), threshold=0.6)
 
 
+def _q_near_dup_clusters(sf_dir: str):
+    """Transitive near-dup clusters: MinHash-LSH pairs -> distributed
+    min-label propagation. The oracle recomputes the same pair set in SQL
+    (the minhash mirror) and closes it with a recursive CTE."""
+    from pero_ocr_ray.functions.dedup import near_dup_clusters
+    return near_dup_clusters(_docs(sf_dir), threshold=0.7)
+
+
+def _q_orders_per_segment(sf_dir: str):
+    """Salted grouped join (hot-key-safe equi-join): orders joined to
+    customer on custkey with the right side replicated across salt
+    buckets, then a per-segment count (partials + tiny groupby)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from pero_ocr_ray.functions.join import grouped_join_salted
+    o = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_orderkey", "o_custkey"])
+    c = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_mktsegment"])
+    j = grouped_join_salted(o, c, on="o_custkey", right_on="c_custkey",
+                            salts=4)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("c_mktsegment", as_index=False).size()
+                  .rename(columns={"size": "n_partial"}))
+
+    agg = (j.map_batches(partial, batch_format="pandas")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n_partial", alias_name="n_orders")))
+    return agg.map_batches(
+        lambda df: df.assign(n_orders=df["n_orders"].astype("int64")),
+        batch_format="pandas")
+
+
+def _q_asof_bucketed(sf_dir: str):
+    """Hot-key-safe as-of join (two-phase per (key, day) bucketing +
+    cross-bucket summary resolution) — must hash-match the SAME SQL oracle
+    as the plain asof_purchase_view."""
+    import pandas as pd
+    from pero_ocr_ray.functions.join import asof_join_bucketed
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def only(kind):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.loc[df["event_type"] == kind,
+                          ["event_id", "user_id", "ts", "value"]]
+        return fn
+
+    purchases = ev.map_batches(only("purchase"), batch_format="pandas")
+    views = ev.map_batches(only("view"), batch_format="pandas")
+    joined = asof_join_bucketed(purchases, views, key="user_id", ts="ts",
+                                right_cols=["value"], bucket_freq="D")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts": pd.to_datetime(df["ts"]).astype("datetime64[us]"),
+            "view_ts": pd.to_datetime(df["ts_right"]).astype("datetime64[us]"),
+            "view_value_cents": (pd.to_numeric(df["value_right"]) * 100
+                                 ).round().astype("int64"),
+        })
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
 def _q_simhash_sigs(sf_dir: str):
     from pero_ocr_ray.functions.dedup import simhash_signatures
     return simhash_signatures(_docs(sf_dir))
@@ -746,6 +814,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "jaccard_near_dup_pairs": _q_jaccard_pairs,
         "simhash_signatures": _q_simhash_sigs,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "orders_per_segment": _q_orders_per_segment,
+        "asof_purchase_view_bucketed": _q_asof_bucketed,
         "knn_cosine": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
@@ -787,6 +858,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _URL_SQL = "'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR)"
 _CANON_SQL = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
 _STOPWORD_SQL = r"\b(?:the|and|of|a|to|in|is|for|on|with)\b"
+
+
+_ASOF_SQL = """
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts,
+           CAST(ROUND(v.value * 100) AS BIGINT) AS view_value_cents
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts"""
 
 
 _SESSIONIZE_SQL = """
@@ -1059,6 +1138,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= 0.6""",
         "simhash_signatures": _SIMHASH_SQL,
         "minhash_near_dup_pairs": _minhash_sql(0.7),
+        "near_dup_clusters": f"""
+            WITH RECURSIVE prs AS ({_minhash_sql(0.7)}),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                      UNION ALL SELECT doc_b, doc_a FROM prs),
+            nodes AS (SELECT DISTINCT a AS d FROM edges),
+            reach(d, n) AS (
+                SELECT d, d FROM nodes
+                UNION
+                SELECT r.d, e.b FROM reach r JOIN edges e ON e.a = r.n)
+            SELECT d AS doc_id, CAST(MIN(n) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY d""",
+        "orders_per_segment": """
+            SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment""",
         "page_quality": _page_quality_sql(),
         "merge_best": rf"""
             WITH a AS (SELECT doc_id, {_URL_SQL} AS url,
@@ -1259,12 +1353,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n_tokens, 0.50) AS BIGINT) AS p50,
                    CAST(quantile_disc(n_tokens, 0.90) AS BIGINT) AS p90
             FROM t GROUP BY lang""",
-        "asof_purchase_view": """
-            SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts,
-                   CAST(ROUND(v.value * 100) AS BIGINT) AS view_value_cents
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
-              ON p.user_id = v.user_id AND p.ts >= v.ts""",
+        "asof_purchase_view": _ASOF_SQL,
+        "asof_purchase_view_bucketed": _ASOF_SQL,
         "warc_extract": f"""
             SELECT 'https://warc.example/d/' || CAST(doc_id AS VARCHAR) AS url,
                    {_CANON_SQL} AS extracted_text

@@ -143,7 +143,8 @@ def minhash_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.7,
 def minhash_dedup_drop_ids(ds: rd.Dataset, threshold: float = 0.7,
                            k: int = 3) -> rd.Dataset:
     """-> (doc_id,) docs to DROP: any doc with a confirmed near-dup of
-    smaller id (deterministic approximation of connected components)."""
+    smaller id (deterministic approximation of connected components;
+    :func:`near_dup_clusters` is the exact transitive variant)."""
     pairs = minhash_near_dup_pairs(ds, threshold, k)
 
     def drops(t: pa.Table) -> pa.Table:
@@ -155,6 +156,102 @@ def minhash_dedup_drop_ids(ds: rd.Dataset, threshold: float = 0.7,
         return group.head(1)
 
     return dropped.groupby("doc_id").map_groups(uniq, batch_format="pandas")
+
+
+# -- connected components over the near-dup graph --------------------------
+
+
+def label_propagation_components(pairs: rd.Dataset, max_iters: int = 25
+                                 ) -> rd.Dataset:
+    """Connected components of an undirected edge list (doc_a, doc_b) ->
+    (doc_id, cluster_id) where cluster_id = min doc_id of the component.
+
+    Distributed min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (edges exploded both ways,
+    one groupby-min per round). Labels decrease monotonically, so the sum
+    of labels is a convergence certificate — iterate until it stops
+    falling (≤ graph diameter rounds, capped at ``max_iters``).
+
+    Scale shape: state is one (doc_id, label) row PER NODE THAT HAS A
+    NEAR-DUP (not per corpus row), shuffles are keyed on doc_id, and each
+    round's result is materialized before the next — the iterative-algorithm
+    escape hatch the Dataset API needs (SURVEY custom-operator rule (a))."""
+    from ray.data.aggregate import Sum
+    from pero_ocr_ray.functions.join import hash_join
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_a"),
+                            "nbr": t.column("doc_b")}),
+        batch_format="pyarrow").union(pairs.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_b"),
+                                "nbr": t.column("doc_a")}),
+            batch_format="pyarrow")).materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "label": t.column("doc_id")})
+
+    def min_label(group: pa.Table) -> pa.Table:
+        # arrow-native so unioned inputs keep one block type end-to-end
+        return pa.table({
+            "doc_id": pa.array([group.column("doc_id")[0].as_py()], pa.int64()),
+            "label": pa.array(
+                [pa.compute.min(group.column("label")).as_py()], pa.int64()),
+        })
+
+    # .repartition(8) consolidates the empty null-schema blocks
+    # groupby().map_groups leaves behind (they break Dataset.join; CLAUDE.md)
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+              .groupby("doc_id").map_groups(min_label, batch_format="pyarrow")
+              .repartition(8).materialize())
+    prev_sum = None
+    for _ in range(max_iters):
+        # neighbor label offers: edge (u -> v) carries label(u) to v
+        offers = hash_join(edges, labels.map_batches(
+            lambda t: pa.table({"nbr_key": t.column("doc_id"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow"), on="nbr", right_on="nbr_key"
+        ).select_columns(["doc_id", "label"])
+        labels = (labels.union(offers)
+                  .groupby("doc_id")
+                  .map_groups(min_label, batch_format="pyarrow")
+                  .repartition(8).materialize())
+        agg = labels.aggregate(Sum("label"))
+        cur_sum = (agg or {}).get("sum(label)", 0)
+        if cur_sum == prev_sum:  # min-labels are monotone: fixed point
+            break
+        prev_sum = cur_sum
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "cluster_id": t.column("label")}),
+        batch_format="pyarrow")
+
+
+def near_dup_clusters(ds: rd.Dataset, threshold: float = 0.7, k: int = 3,
+                      max_iters: int = 25) -> rd.Dataset:
+    """-> (doc_id, cluster_id) for every doc in a near-dup component:
+    MinHash-LSH pairs -> transitive closure by label propagation. Docs with
+    no near-dup are absent (their cluster is themselves)."""
+    pairs = minhash_near_dup_pairs(ds, threshold, k).repartition(8)
+    return label_propagation_components(pairs, max_iters)
+
+
+def minhash_dedup_cluster_drop_ids(ds: rd.Dataset, threshold: float = 0.7,
+                                   k: int = 3) -> rd.Dataset:
+    """-> (doc_id,) docs to DROP under exact transitive clustering: every
+    component keeps only its min doc_id. Unlike
+    :func:`minhash_dedup_drop_ids`, chain-shaped clusters (A~B~C with A!~C)
+    drop their middle members too."""
+    clusters = near_dup_clusters(ds, threshold, k)
+    return clusters.map_batches(
+        lambda t: pa.table({"doc_id": t.filter(
+            pa.compute.not_equal(t.column("doc_id"),
+                                 t.column("cluster_id"))).column("doc_id")}),
+        batch_format="pyarrow")
 
 
 # -- exact n-gram Jaccard --------------------------------------------------

@@ -408,3 +408,162 @@ def test_asof_join_semantics():
     # event 3 at 09:00 has no prior right row -> dropped (inner)
     assert out["event_id"].tolist() == [1, 2]
     assert [float(v) for v in out["value_right"]] == [1.0, 2.0]
+
+
+# ---- near-dup connected components ----------------------------------------
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_label_propagation_matches_union_find():
+    """Chain edges (transitive clusters) resolve to min-id components,
+    identical to a sequential union-find oracle."""
+    import pyarrow as pa
+    from pero_ocr_ray.functions.dedup import label_propagation_components
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4),        # 5-chain
+             (10, 11), (11, 12),                    # 3-chain
+             (20, 21), (21, 22), (20, 22),          # triangle
+             (30, 31)]                              # pair
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    got = dataset_to_table(label_propagation_components(pairs)).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["cluster_id"]))
+    nodes = sorted({n for e in edges for n in e})
+    want = _union_find(edges, nodes)
+    assert got_map == want
+    assert set(got_map.values()) == {0, 10, 20, 30}
+
+
+def test_near_dup_clusters_transitive_chain():
+    """A sliding-window chain corpus (A~B~C but A!~C): cluster labels equal
+    a union-find over the SAME LSH pair set, and the cluster-based drop set
+    removes chain middles that pairwise drop logic would also remove, while
+    agreeing with union-find minima exactly."""
+    import pyarrow as pa
+    from pero_ocr_ray.functions.dedup import (
+        minhash_dedup_cluster_drop_ids, minhash_near_dup_pairs,
+        near_dup_clusters,
+    )
+    base = [f"tok{j:03d}" for j in range(80)]
+    other = [f"zzz{j:03d}" for j in range(80)]
+    texts = [" ".join(base[i * 3:i * 3 + 30]) for i in range(8)]
+    texts += [" ".join(other[i * 3:i * 3 + 30]) for i in range(4)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    pairs_tbl = dataset_to_table(minhash_near_dup_pairs(docs, 0.7)).to_pandas()
+    edges = list(zip(pairs_tbl["doc_a"], pairs_tbl["doc_b"]))
+    assert edges, "chain corpus must surface near-dup pairs"
+    nodes = sorted({n for e in edges for n in e})
+    want = _union_find(edges, nodes)
+    got = dataset_to_table(near_dup_clusters(docs, 0.7)).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert got_map == want
+    drops = dataset_to_table(
+        minhash_dedup_cluster_drop_ids(docs, 0.7)).to_pandas()
+    assert set(drops["doc_id"]) == {n for n, c in want.items() if n != c}
+
+
+# ---- hot-key-safe join variants -------------------------------------------
+
+def test_grouped_join_salted_equals_plain():
+    """Salted grouped join must produce exactly the plain join's result set
+    on a corpus with one pathological hot key."""
+    import pyarrow as pa
+    from pero_ocr_ray.functions.join import grouped_join, grouped_join_salted
+    # hot key 7: 1200 left rows; keys 0..9 small; right has 0-3 rows per key
+    lk = [7] * 1200 + [i % 10 for i in range(300)]
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "lv": pa.array(list(range(len(lk))), pa.int64()),
+    })).repartition(8)
+    rk, rv = [], []
+    for key in range(10):
+        for j in range(key % 4):
+            rk.append(key); rv.append(key * 100 + j)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(rk, pa.int64()),
+        "rv": pa.array(rv, pa.int64()),
+    })).repartition(4)
+
+    def norm(df):
+        df = df.astype({"k": "int64", "lv": "int64", "rv": "int64"})
+        return sorted(map(tuple, df[["k", "lv", "rv"]].to_numpy()))
+
+    plain = norm(dataset_to_table(grouped_join(left, right, "k")).to_pandas())
+    salted = norm(dataset_to_table(
+        grouped_join_salted(left, right, "k", salts=5)).to_pandas())
+    assert plain == salted
+    # key 7: (1200 hot + 30 cycled) left rows x 3 right rows; other keys:
+    # 30 left rows x (k % 4) right rows
+    assert len(plain) == 1230 * 3 + sum((k % 4) * 30
+                                        for k in range(10) if k != 7)
+
+
+def test_asof_join_bucketed_equals_plain():
+    """Bucketed as-of join must equal the plain one exactly: hot user with
+    dense history, sparse users, left rows before any right row (dropped),
+    and matches that must reach back across bucket boundaries."""
+    import pyarrow as pa
+    from pero_ocr_ray.functions.join import asof_join, asof_join_bucketed
+    base = pd.Timestamp("2026-01-01")
+    lu, lts, lid = [], [], []
+    ru, rts, rv = [], [], []
+    # hot user 1: a purchase every 40 min over ~5 days, views every 3 h
+    for j in range(180):
+        lu.append(1); lts.append(base + pd.Timedelta(minutes=40 * j))
+        lid.append(j)
+    for j in range(40):
+        ru.append(1); rts.append(base + pd.Timedelta(hours=3 * j))
+        rv.append(1000 + j)
+    # user 2: purchases on day 3 only; views only on day 1 (cross-bucket)
+    for j in range(5):
+        lu.append(2)
+        lts.append(base + pd.Timedelta(days=3, minutes=j))
+        lid.append(200 + j)
+    ru.append(2); rts.append(base + pd.Timedelta(hours=5)); rv.append(2000)
+    # user 3: purchase BEFORE any view -> dropped by inner semantics
+    lu.append(3); lts.append(base); lid.append(300)
+    ru.append(3); rts.append(base + pd.Timedelta(days=1)); rv.append(3000)
+    left = rd.from_arrow(pa.table({
+        "user_id": pa.array(lu, pa.int64()),
+        "ts": pa.array(lts, pa.timestamp("us")),
+        "event_id": pa.array(lid, pa.int64()),
+    })).repartition(6)
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array(ru, pa.int64()),
+        "ts": pa.array(rts, pa.timestamp("us")),
+        "value": pa.array(rv, pa.int64()),
+    })).repartition(3)
+
+    def norm(df):
+        return sorted(
+            (int(r.event_id), pd.Timestamp(r.ts_right).isoformat(),
+             int(r.value_right))
+            for r in df.itertuples())
+
+    plain = norm(dataset_to_table(
+        asof_join(left, right, key="user_id", ts="ts",
+                  right_cols=["value"])).to_pandas())
+    bucketed = norm(dataset_to_table(
+        asof_join_bucketed(left, right, key="user_id", ts="ts",
+                           right_cols=["value"],
+                           bucket_freq="D")).to_pandas())
+    assert plain == bucketed
+    assert len(plain) == 180 + 5  # user 3's orphan purchase dropped
