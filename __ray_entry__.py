@@ -415,14 +415,16 @@ def _q_extract_lines(sf_dir: str):
 
 
 def _q_approx_distinct_tokens(sf_dir: str):
-    """HLL approximate distinct-token count over documents (rows-only:
-    approximate by design; unit tests bound the error at <3%)."""
+    """HLL approximate distinct-token count over documents. Approximate vs
+    the TRUE count (<3% unit-tested) but bit-deterministic given the md5
+    hash — so the DuckDB oracle rebuilds the 4096 HLL registers from
+    scratch in SQL and must land on the same estimate. (sketches_merged is
+    the Ray block count — execution detail, not part of the contract.)"""
     import pandas as pd
     from pero_ocr_ray.functions.textstats import approx_distinct
     out = approx_distinct(_docs(sf_dir), "text", tokenize=True)
-    return pd.DataFrame({"estimate": pd.Series([out["estimate"]], dtype="int64"),
-                         "sketches_merged": pd.Series([out["sketches_merged"]],
-                                                      dtype="int64")})
+    return pd.DataFrame({"estimate": pd.Series([out["estimate"]],
+                                               dtype="int64")})
 
 
 def _q_asof_purchase_view(sf_dir: str):
@@ -984,6 +986,42 @@ def _page_quality_sql() -> str:
         FROM documents d LEFT JOIN q ON q.doc_id = d.doc_id"""
 
 
+def _hll_sql() -> str:
+    """SQL rebuild of the engine's HyperLogLog sketch (kernels/hll.py):
+    distinct whitespace tokens -> md5-high-64 hash -> register idx = top 12
+    bits, rank = 53 - bit_length(low 52 bits) (integer-exact via a powers
+    table) -> per-register max -> the standard estimator with linear
+    counting. The estimate is approximate vs truth but DETERMINISTIC given
+    the hash, so SQL lands on the same integer."""
+    from pero_ocr_ray.kernels import hll
+    m = hll.M
+    alpha = hll._ALPHA
+    pw_rows = ", ".join(f"({k}, {1 << k}::BIGINT)" for k in range(53))
+    return rf"""
+        WITH pw(k, v) AS (VALUES {pw_rows}),
+        toks AS (SELECT DISTINCT unnest(regexp_extract_all(text, '\S+')) AS w
+                 FROM documents),
+        h AS (SELECT ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv
+              FROM toks),
+        parts AS (SELECT CAST(hv >> 52 AS BIGINT) AS idx,
+                         CAST(hv & ((1::UBIGINT << 52) - 1) AS BIGINT) AS lo
+                  FROM h),
+        rk AS (SELECT p.idx, p.lo, MIN(pw.k) AS bl
+               FROM parts p JOIN pw ON p.lo < pw.v
+               GROUP BY p.idx, p.lo),
+        regs AS (SELECT idx, MAX(53 - bl) AS r FROM rk GROUP BY idx),
+        stats AS (SELECT count(*) AS touched,
+                         SUM(pow(2.0, -r)) AS s_touched FROM regs),
+        e AS (SELECT CAST({alpha!r} AS DOUBLE) * {m * m}
+                     / (({m} - touched) * 1.0 + s_touched) AS est,
+                     {m} - touched AS zeros
+              FROM stats)
+        SELECT CAST(round(CASE WHEN est <= {2.5 * m} AND zeros > 0
+                               THEN {m} * ln({m} * 1.0 / zeros)
+                               ELSE est END) AS BIGINT) AS estimate
+        FROM e"""
+
+
 def _minhash_sql(threshold: float = 0.7) -> str:
     """From-scratch SQL mirror of functions.dedup.minhash_near_dup_pairs:
     trigram shingles -> md5-low-64 hashes -> 64 permutations
@@ -1153,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment""",
+        "approx_distinct_tokens": _hll_sql(),
         "page_quality": _page_quality_sql(),
         "merge_best": rf"""
             WITH a AS (SELECT doc_id, {_URL_SQL} AS url,

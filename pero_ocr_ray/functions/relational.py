@@ -24,25 +24,44 @@ from ray.data.aggregate import Sum
 
 def pricing_summary(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> rd.Dataset:
     """TPC-H Q1-style: per (returnflag, linestatus) sums/counts with partial
-    aggregation before the shuffle."""
-    cutoff_ts = pd.Timestamp(cutoff)
+    aggregation before the shuffle. The partial is zero-copy Arrow
+    (pyarrow.compute kernels + Arrow group_by): the block never converts to
+    pandas on the hot path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] <= cutoff_ts]
-        if df.empty:
-            return pd.DataFrame({"key": pd.Series([], dtype="object"),
-                                 "qty": pd.Series([], dtype="float64"),
-                                 "base": pd.Series([], dtype="float64"),
-                                 "disc_price": pd.Series([], dtype="float64"),
-                                 "n": pd.Series([], dtype="int64")})
-        df = df.assign(key=df["l_returnflag"] + "|" + df["l_linestatus"],
-                       disc_price=df["l_extendedprice"] * (1 - df["l_discount"]))
-        g = df.groupby("key", as_index=False).agg(
-            qty=("l_quantity", "sum"), base=("l_extendedprice", "sum"),
-            disc_price=("disc_price", "sum"), n=("l_quantity", "size"))
-        return g
+    cutoff_dt = pd.Timestamp(cutoff).to_pydatetime()
 
-    agg = (lineitem.map_batches(partial, batch_format="pandas")
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"),
+                                   pa.scalar(cutoff_dt)))
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "qty": pa.array([], pa.float64()),
+                             "base": pa.array([], pa.float64()),
+                             "disc_price": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        key = pc.binary_join_element_wise(t.column("l_returnflag"),
+                                          t.column("l_linestatus"),
+                                          pa.scalar("|"))
+        disc = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        g = (pa.table({"key": key,
+                       "qty": t.column("l_quantity"),
+                       "base": t.column("l_extendedprice"),
+                       "disc_price": disc})
+             .group_by("key")
+             .aggregate([("qty", "sum"), ("base", "sum"),
+                         ("disc_price", "sum"), ("key", "count")]))
+        return pa.table({"key": g.column("key"),
+                         "qty": pc.cast(g.column("qty_sum"), pa.float64()),
+                         "base": pc.cast(g.column("base_sum"), pa.float64()),
+                         "disc_price": pc.cast(g.column("disc_price_sum"),
+                                               pa.float64()),
+                         "n": g.column("key_count")})
+
+    agg = (lineitem.map_batches(partial, batch_format="pyarrow")
            .groupby("key").aggregate(Sum("qty", alias_name="qty"),
                                      Sum("base", alias_name="base"),
                                      Sum("disc_price", alias_name="disc_price"),
@@ -179,16 +198,25 @@ def top_parts_by_price(part: rd.Dataset, k: int = 5) -> rd.Dataset:
                              batch_size=None))
 
 
-def customer_segment_counts(customer: rd.Dataset) -> rd.Dataset:
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby("c_mktsegment", as_index=False).size()
-                  .rename(columns={"size": "n_partial"}))
-    agg = (customer.map_batches(partial, batch_format="pandas")
-           .groupby("c_mktsegment").aggregate(Sum("n_partial",
-                                                  alias_name="n_customers")))
+def _count_by(ds: rd.Dataset, col: str, out: str) -> rd.Dataset:
+    """Distributed count per key: zero-copy Arrow group_by partial inside
+    each block, then one tiny groupby over the partials."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([col]).group_by(col).aggregate([(col, "count")])
+        return pa.table({col: g.column(col),
+                         "n_partial": g.column(f"{col}_count")})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(col).aggregate(Sum("n_partial", alias_name=out)))
     return agg.map_batches(
-        lambda df: df.assign(n_customers=df["n_customers"].astype("int64")),
+        lambda df: df.assign(**{out: df[out].astype("int64")}),
         batch_format="pandas")
+
+
+def customer_segment_counts(customer: rd.Dataset) -> rd.Dataset:
+    return _count_by(customer, "c_mktsegment", "n_customers")
 
 
 def token_quantiles_by_lang(documents: rd.Dataset) -> rd.Dataset:
@@ -246,13 +274,5 @@ def token_quantiles_by_lang(documents: rd.Dataset) -> rd.Dataset:
 
 
 def lang_counts(documents: rd.Dataset) -> rd.Dataset:
-    """Documents per lang (partial count then tiny groupby)."""
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby("lang", as_index=False).size()
-                  .rename(columns={"size": "n_partial"}))
-
-    agg = (documents.map_batches(partial, batch_format="pandas")
-           .groupby("lang").aggregate(Sum("n_partial", alias_name="n_docs")))
-    return agg.map_batches(
-        lambda df: df.assign(n_docs=df["n_docs"].astype("int64")),
-        batch_format="pandas")
+    """Documents per lang (Arrow partial count then tiny groupby)."""
+    return _count_by(documents, "lang", "n_docs")

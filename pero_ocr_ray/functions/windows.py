@@ -15,17 +15,31 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 
-def tumbling_window_counts(ds: rd.Dataset, freq: str = "h") -> rd.Dataset:
-    """-> (event_type, window_start, n_events) tumbling windows of `freq`."""
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        win = df["ts"].dt.floor(freq).astype("datetime64[us]")
-        g = (df.assign(window_start=win)
-               .groupby(["event_type", "window_start"], as_index=False)
-               .size().rename(columns={"size": "n_partial"}))
-        g["key"] = g["event_type"] + "|" + g["window_start"].astype("int64").astype(str)
-        return g[["key", "n_partial"]]
+_ARROW_UNIT = {"h": "hour", "H": "hour", "min": "minute", "T": "minute",
+               "d": "day", "D": "day", "s": "second"}
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+
+def tumbling_window_counts(ds: rd.Dataset, freq: str = "h") -> rd.Dataset:
+    """-> (event_type, window_start, n_events) tumbling windows of `freq`.
+    The partial is zero-copy Arrow: floor_temporal + Arrow group_by, no
+    pandas conversion on the event stream."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    unit = _ARROW_UNIT[freq]
+
+    def partial(t: pa.Table) -> pa.Table:
+        # normalize to timestamp[us] before the int cast: pandas-sourced
+        # blocks arrive as timestamp[ns] (the Timedelta-promotion gotcha)
+        win_us = pc.cast(pc.cast(pc.floor_temporal(t.column("ts"), unit=unit),
+                                 pa.timestamp("us")), pa.int64())
+        key = pc.binary_join_element_wise(
+            t.column("event_type"), pc.cast(win_us, pa.string()),
+            pa.scalar("|"))
+        g = pa.table({"key": key}).group_by("key").aggregate([("key", "count")])
+        return pa.table({"key": g.column("key"),
+                         "n_partial": g.column("key_count")})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby("key").aggregate(Sum("n_partial", alias_name="n_events"))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -47,24 +61,32 @@ def sliding_window_counts(ds: rd.Dataset, size_hours: int = 2,
     partial stage, so the shuffle still moves per-window partials)."""
     k = size_hours // step_hours
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        base = df["ts"].dt.floor(f"{step_hours}h").astype("datetime64[us]")
-        frames = []
-        for i in range(k):
-            shifted = (base - pd.Timedelta(hours=step_hours * i)
-                       ).astype("datetime64[us]")  # Timedelta promotes to ns
-            frames.append(pd.DataFrame({
-                "event_type": df["event_type"],
-                "window_start": shifted,
-            }))
-        allw = pd.concat(frames, ignore_index=True)
-        g = (allw.groupby(["event_type", "window_start"], as_index=False)
-                 .size().rename(columns={"size": "n_partial"}))
-        g["key"] = (g["event_type"] + "|"
-                    + g["window_start"].astype("int64").astype(str))
-        return g[["key", "n_partial"]]
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    step_us = step_hours * 3_600_000_000
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    def partial(t: pa.Table) -> pa.Table:
+        base_us = pc.cast(pc.cast(
+            pc.floor_temporal(t.column("ts"), multiple=step_hours,
+                              unit="hour"), pa.timestamp("us")), pa.int64())
+        keys = []
+        for i in range(k):  # explode: each event lands in k windows
+            shifted = pc.subtract(base_us, pa.scalar(i * step_us, pa.int64()))
+            keys.append(pc.binary_join_element_wise(
+                t.column("event_type"), pc.cast(shifted, pa.string()),
+                pa.scalar("|")))
+        chunks = []
+        for key_arr in keys:
+            chunks.extend(key_arr.chunks
+                          if isinstance(key_arr, pa.ChunkedArray)
+                          else [key_arr])
+        allk = (pa.chunked_array(chunks, pa.string()) if chunks
+                else pa.array([], pa.string()))
+        g = pa.table({"key": allk}).group_by("key").aggregate([("key", "count")])
+        return pa.table({"key": g.column("key"),
+                         "n_partial": g.column("key_count")})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby("key").aggregate(Sum("n_partial",
                                                 alias_name="n_events"))
 

@@ -6,8 +6,10 @@ sketch: one HLL per batch inside ``map_batches``, elementwise-max merge in a
 tiny final step — the canonical partial+final shape with O(4 KB) shuffle
 traffic total.
 
-Deterministic: hashing is blake2b (process-independent), no sampling.
-Standard 64-bit HLL with linear-counting small-range correction.
+Deterministic: hashing is md5-high-64 (process-independent, and the same
+``('0x' || substr(md5(v), 1, 16))::UBIGINT`` convention the other kernels
+use so a DuckDB oracle can rebuild the registers from scratch), no
+sampling. Standard 64-bit HLL with linear-counting small-range correction.
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ def empty_sketch() -> np.ndarray:
 def _hash64(value: str | bytes) -> int:
     if isinstance(value, str):
         value = value.encode("utf-8")
-    return int.from_bytes(hashlib.blake2b(value, digest_size=8).digest(), "big")
+    return int(hashlib.md5(value).hexdigest()[:16], 16)
 
 
 def add(sketch: np.ndarray, value: str | bytes) -> None:
