@@ -8,6 +8,14 @@ get a resumable extraction job with per-partition manifests.
         [--num-cpus N] [--mode fused|staged] [--dedup] [--batch-size B]
     python -m pero_ocr_ray.cli merge  --inputs A B C --output DIR
     python -m pero_ocr_ray.cli compare --hyp DIR --ref DIR
+    python -m pero_ocr_ray.cli export --input DIR --output DIR \
+        --format pagexml|alto|pdf [--aligned-confidences]
+    python -m pero_ocr_ray.cli select-config --input PAGES.parquet \
+        [--candidates sweep.json]
+
+(the reference's four console scripts — parse-folder, merge-ocr-results,
+compare-page-xml-texts, select-embed-id — map to extract / merge /
+compare / select-config; export covers its XML/ALTO/PDF output writers)
 
 On a real cluster the same file is the job entrypoint:
     ray job submit --working-dir . -- python -m pero_ocr_ray.cli extract ...
@@ -22,7 +30,14 @@ import os
 import sys
 
 
+_OWNS_RAY = False
+
+
 def _ray_up(num_cpus: int | None):
+    """Start Ray if no session exists; remember ownership so ``main`` only
+    shuts down sessions it started (an embedding caller — tests, a driver —
+    keeps its session)."""
+    global _OWNS_RAY
     import ray
     if ray.is_initialized():
         return
@@ -33,6 +48,7 @@ def _ray_up(num_cpus: int | None):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     ray.init(**kwargs)
+    _OWNS_RAY = True
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
@@ -98,7 +114,11 @@ def cmd_export(args) -> int:
     ds = rd.read_parquet(args.input)
     stats = {}
     if args.format in ("pagexml", "alto"):
-        stage = "to_pagexml" if args.format == "pagexml" else "to_alto"
+        if args.format == "pagexml":
+            stage = "to_pagexml"
+        else:
+            stage = ("to_alto_aligned" if getattr(args, "aligned_confidences",
+                                                  False) else "to_alto")
         spec = [{"stage": "decode"}, {"stage": "parse"}, {"stage": "segment"},
                 {"stage": "classify", "concurrency": args.concurrency or 2},
                 {"stage": "order"}, {"stage": stage}]
@@ -118,6 +138,41 @@ def cmd_export(args) -> int:
             searchable_pdf(out, invisible=args.invisible), args.output)
         stats["files"] = dataset_to_table(manifest).num_rows
     print(json.dumps(stats))
+    return 0
+
+
+def cmd_select_config(args) -> int:
+    """select-embed-id analog: sweep candidate extraction configs against a
+    ground-truth sample and report per-candidate CER + the argmin. The
+    pages parquet's ``text`` column is the ground truth (canonicalized)."""
+    _ray_up(args.num_cpus)
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pero_ocr_ray.functions.select_config import select_best_config
+    from pero_ocr_ray.kernels.config import ExtractConfig
+
+    if args.candidates:
+        with open(args.candidates) as fh:
+            cand = [ExtractConfig(**d) for d in json.load(fh)]
+    else:  # default sweep around the shipped config
+        cand = [ExtractConfig(),
+                ExtractConfig(score_threshold=-5.0),
+                ExtractConfig(link_weight=2.0),
+                ExtractConfig(boiler_penalty=1.0),
+                ExtractConfig(page_min_chars=10_000)]
+    paths = args.input
+    if os.path.isdir(paths):
+        paths = sorted(os.path.join(paths, f) for f in os.listdir(paths)
+                       if f.endswith(".parquet"))
+    tbl = pq.read_table(paths)
+    gt = {u: " ".join((t or "").split())
+          for u, t in zip(tbl.column("url").to_pylist(),
+                          tbl.column("text").to_pylist())}
+    out = select_best_config(rd.from_arrow(tbl), gt, cand,
+                             n_clusters=args.clusters,
+                             sample_n=args.sample,
+                             concurrency=args.concurrency or 2)
+    print(json.dumps(out))
     return 0
 
 
@@ -159,14 +214,31 @@ def main(argv: list[str] | None = None) -> int:
                     help="pdf: invisible text layer (searchable overlay)")
     xp.add_argument("--concurrency", type=int, default=None)
     xp.add_argument("--num-cpus", type=int, default=None)
+    xp.add_argument("--aligned-confidences", action="store_true",
+                    help="alto: WC word confidences from CTC Viterbi "
+                         "forced alignment instead of block scores")
     xp.set_defaults(fn=cmd_export)
+
+    sc = sub.add_parser("select-config",
+                        help="sweep extraction configs vs ground truth "
+                             "(select-embed-id analog)")
+    sc.add_argument("--input", required=True,
+                    help="pages parquet with a text ground-truth column")
+    sc.add_argument("--candidates", default=None,
+                    help="JSON file: list of ExtractConfig override dicts "
+                         "(default: built-in sweep)")
+    sc.add_argument("--clusters", type=int, default=3)
+    sc.add_argument("--sample", type=int, default=100)
+    sc.add_argument("--concurrency", type=int, default=None)
+    sc.add_argument("--num-cpus", type=int, default=None)
+    sc.set_defaults(fn=cmd_select_config)
 
     args = ap.parse_args(argv)
     try:
         return args.fn(args)
     finally:
         import ray
-        if ray.is_initialized():
+        if _OWNS_RAY and ray.is_initialized():
             ray.shutdown()
 
 

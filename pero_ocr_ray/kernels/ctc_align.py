@@ -89,24 +89,26 @@ def ctc_force_align(neg_logprobs: np.ndarray, symbols: list[int],
     cost[0] = frame_costs[0, 0]
     if n_states > 1:
         cost[1] = frame_costs[0, 1]
-    backptr = np.full((n_frames, n_states), -1, dtype=np.int64)
+    # backpointers delta-coded (0=stay, 1=advance, 2=skip): uint8 keeps the
+    # (frames x states) table 8x smaller than state indices — long lines
+    # would otherwise allocate hundreds of MB per call
+    backptr = np.zeros((n_frames, n_states), dtype=np.uint8)
 
-    state_idx = np.arange(n_states, dtype=np.int64)
     for t in range(1, n_frames):
         adv = np.concatenate(([inf], cost[:-1]))      # from state i-1
-        skp = np.concatenate(([inf, inf], cost[:-2])) # from state i-2
+        skp = np.concatenate(([inf, inf], cost[:-2]))  # from state i-2
         skp = np.where(allow_skip, skp, inf)
         # tie-break = smallest predecessor: seed with skip, strictly better
         # candidates overwrite (advance beats skip only when cheaper, stay
         # beats both only when cheaper) — reference compute_update semantics
         best = skp
-        bp = np.where(np.isfinite(skp), state_idx - 2, -1)
+        bp = np.full(n_states, 2, dtype=np.uint8)
         take = adv < best
         best = np.where(take, adv, best)
-        bp = np.where(take, state_idx - 1, bp)
+        bp[take] = 1
         take = cost < best
         best = np.where(take, cost, best)
-        bp = np.where(take, state_idx, bp)
+        bp[take] = 0
         cost = best + frame_costs[t]
         backptr[t] = bp
 
@@ -119,7 +121,7 @@ def ctc_force_align(neg_logprobs: np.ndarray, symbols: list[int],
     state = int(np.argmin(final))
     path = [state]
     for t in range(n_frames - 1, 0, -1):
-        state = int(backptr[t, state])
+        state -= int(backptr[t, state])
         path.append(state)
     path.reverse()
     if return_seq_positions:
@@ -138,10 +140,17 @@ def ctc_char_positions(neg_logprobs: np.ndarray, symbols: list[int],
         ctc_force_align(neg_logprobs, symbols, blank,
                         return_seq_positions=True))
     max_probs = (-np.asarray(neg_logprobs, dtype=np.float64)).max(axis=-1)
+    # vectorized per-char argmax (argmax ties -> first frame): sort frames
+    # by (char asc, prob desc, frame asc) and take each char's first row
+    sel = frame_chars >= 0
+    frames = np.nonzero(sel)[0]
+    chars = frame_chars[sel]
+    order = np.lexsort((frames, -max_probs[frames], chars))
+    chars_sorted = chars[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = chars_sorted[1:] != chars_sorted[:-1]
     out = np.zeros(len(symbols), dtype=np.int64)
-    for k in range(len(symbols)):
-        frames = np.nonzero(frame_chars == k)[0]
-        out[k] = frames[int(np.argmax(max_probs[frames]))]
+    out[chars_sorted[first]] = frames[order][first]
     return out
 
 

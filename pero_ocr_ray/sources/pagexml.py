@@ -284,13 +284,19 @@ def _line_lattice(text: str, letters: list[str], salt: str):
     return np.asarray(frames)
 
 
-def aligned_line_confidences(row: dict) -> dict:
+def aligned_line_confidences(row: dict, max_align_chars: int = 1024) -> dict:
     """Per-line per-character confidences via CTC Viterbi forced alignment
     (F2 — the ALTO confidence source the reference computes at
     /root/reference/pero_ocr/core/layout.py:491-540 with ``align_text``):
     each kept line's text is aligned against its deterministic confidence
     lattice, and each character's confidence is its class probability at
-    the best aligned frame. -> {(block_id, line_idx): np.ndarray}."""
+    the best aligned frame. -> {(block_id, line_idx): np.ndarray}.
+
+    Skew guard: the Viterbi DP is quadratic in line length, so lines over
+    ``max_align_chars`` are skipped (they fall back to the block score in
+    the writer) — the alignment analog of the reference's input caps
+    (Mpx downsample, chunk-split), keeping a 500 KB single-paragraph page
+    from dominating the stage."""
     from pero_ocr_ray.kernels.beam import BLANK
     from pero_ocr_ray.kernels.ctc_align import ctc_char_confidences
     out = {}
@@ -300,6 +306,8 @@ def aligned_line_confidences(row: dict) -> dict:
         for j, (text, _s0, _s1) in enumerate(b.get("lines") or []):
             if not text or text.strip() == "":
                 continue
+            if len(text) > max_align_chars:
+                continue  # quadratic-DP guard; writer falls back to score
             letters = sorted(set(text)) + [BLANK]
             lattice = _line_lattice(
                 text, letters, f"{row['url']}:{b['block_id']}:{j}")
