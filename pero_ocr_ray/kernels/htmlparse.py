@@ -49,6 +49,12 @@ class _Elem:
 class _BlockBuilder(HTMLParser):
     """Single pass over the document; collects finished block dicts."""
 
+    def updatepos(self, i: int, j: int) -> int:
+        # line/column tracking exists only for HTMLParser.getpos(), which
+        # this builder never calls — skipping it saves one newline scan per
+        # token on the hot path
+        return j
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[dict] = []
