@@ -1030,6 +1030,7 @@ def _minhash_sql(threshold: float = 0.7) -> str:
     4 rows (docs sharing any identical band are candidates) -> estimated
     Jaccard = matching permutations / 64, thresholded. The 128 permutation
     constants are inlined from kernels.textstats._MH_A/_MH_B."""
+    from pero_ocr_ray.functions.dedup import MAX_BUCKET as max_bucket
     from pero_ocr_ray.kernels.textstats import _MH_A, _MH_B
     perm_rows = ", ".join(f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
                           for i, (a, b) in enumerate(zip(_MH_A, _MH_B)))
@@ -1059,8 +1060,16 @@ def _minhash_sql(threshold: float = 0.7) -> str:
                         string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)
                             AS bkey
                  FROM sig GROUP BY doc_id, i // 4),
+        -- mirror the engine's deterministic hot-bucket cap (MAX_BUCKET):
+        -- a bucket keeps only its {max_bucket} smallest doc_ids
+        capped AS (SELECT doc_id, band, bkey FROM (
+                       SELECT doc_id, band, bkey,
+                              row_number() OVER (PARTITION BY band, bkey
+                                                 ORDER BY doc_id) AS rn
+                       FROM band)
+                   WHERE rn <= {max_bucket}),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                 FROM band x JOIN band y
+                 FROM capped x JOIN capped y
                    ON y.band = x.band AND y.bkey = x.bkey
                   AND x.doc_id < y.doc_id),
         est AS (SELECT c.doc_a, c.doc_b,

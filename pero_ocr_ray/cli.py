@@ -164,11 +164,15 @@ def cmd_select_config(args) -> int:
     if os.path.isdir(paths):
         paths = sorted(os.path.join(paths, f) for f in os.listdir(paths)
                        if f.endswith(".parquet"))
-    tbl = pq.read_table(paths)
+    # ground truth: only the url/text columns of the FIRST --sample rows
+    # ever reach the driver (select_best_config samples via limit(N) in
+    # the same read order); the pages dataset itself stays lazy so html
+    # payloads are never materialized driver-side
+    head = pq.read_table(paths, columns=["url", "text"]).slice(0, args.sample)
     gt = {u: " ".join((t or "").split())
-          for u, t in zip(tbl.column("url").to_pylist(),
-                          tbl.column("text").to_pylist())}
-    out = select_best_config(rd.from_arrow(tbl), gt, cand,
+          for u, t in zip(head.column("url").to_pylist(),
+                          head.column("text").to_pylist())}
+    out = select_best_config(rd.read_parquet(paths), gt, cand,
                              n_clusters=args.clusters,
                              sample_n=args.sample,
                              concurrency=args.concurrency or 2)

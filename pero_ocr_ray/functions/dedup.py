@@ -166,11 +166,15 @@ def label_propagation_components(pairs: rd.Dataset, max_iters: int = 25
     """Connected components of an undirected edge list (doc_a, doc_b) ->
     (doc_id, cluster_id) where cluster_id = min doc_id of the component.
 
-    Distributed min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels (edges exploded both ways,
-    one groupby-min per round). Labels decrease monotonically, so the sum
-    of labels is a convergence certificate — iterate until it stops
-    falling (≤ graph diameter rounds, capped at ``max_iters``).
+    Distributed min-label propagation with pointer jumping: each round
+    every node takes the min over its own label, its neighbors' labels,
+    AND its label's label (the union-find path-halving trick — labels are
+    themselves node ids, so one extra self-join doubles the propagation
+    distance per round, making convergence O(log diameter) instead of
+    O(diameter)). Labels decrease monotonically, so the sum of labels is a
+    convergence certificate — iterate until it stops falling. A component
+    that fails to converge within ``max_iters`` raises (silently returning
+    partial labels would desynchronize every downstream dedup decision).
 
     Scale shape: state is one (doc_id, label) row PER NODE THAT HAS A
     NEAR-DUP (not per corpus row), shuffles are keyed on doc_id, and each
@@ -209,6 +213,7 @@ def label_propagation_components(pairs: rd.Dataset, max_iters: int = 25
               .groupby("doc_id").map_groups(min_label, batch_format="pyarrow")
               .repartition(8).materialize())
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         # neighbor label offers: edge (u -> v) carries label(u) to v
         offers = hash_join(edges, labels.map_batches(
@@ -216,15 +221,33 @@ def label_propagation_components(pairs: rd.Dataset, max_iters: int = 25
                                 "label": t.column("label")}),
             batch_format="pyarrow"), on="nbr", right_on="nbr_key"
         ).select_columns(["doc_id", "label"])
-        labels = (labels.union(offers)
+        # pointer jumping: node u also adopts label(label(u))
+        jumps = hash_join(
+            labels.map_batches(
+                lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                    "lbl_key": t.column("label")}),
+                batch_format="pyarrow"),
+            labels.map_batches(
+                lambda t: pa.table({"lbl_key2": t.column("doc_id"),
+                                    "label": t.column("label")}),
+                batch_format="pyarrow"),
+            on="lbl_key", right_on="lbl_key2",
+        ).select_columns(["doc_id", "label"])
+        labels = (labels.union(offers).union(jumps)
                   .groupby("doc_id")
                   .map_groups(min_label, batch_format="pyarrow")
                   .repartition(8).materialize())
         agg = labels.aggregate(Sum("label"))
         cur_sum = (agg or {}).get("sum(label)", 0)
         if cur_sum == prev_sum:  # min-labels are monotone: fixed point
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            f"(pointer jumping makes this ~log2 of the largest component "
+            f"diameter — raise max_iters only for truly enormous chains)")
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t.column("doc_id"),
                             "cluster_id": t.column("label")}),
@@ -297,9 +320,10 @@ def jaccard_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.6,
     exactness for compute and should cross-check recall on injected
     duplicates (the correctness gate's injected pairs sit at ~0.9 Jaccard,
     far above the risky band)."""
-    assert candidate_margin >= 0.19, (
-        "candidate_margin below ~3 sigma (0.19) voids the exact-recall "
-        "guarantee vs the all-pairs oracle; see docstring")
+    if candidate_margin < 0.19:
+        raise ValueError(
+            "candidate_margin below ~3 sigma (0.19) voids the exact-recall "
+            "guarantee vs the all-pairs oracle; see docstring")
     shingles = ds.map_batches(
         lambda df: _shingle_digest_col(df, k), batch_format="pandas")
     cands = minhash_near_dup_pairs(

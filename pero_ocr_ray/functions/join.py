@@ -284,36 +284,7 @@ def asof_join_bucketed(left: rd.Dataset, right: rd.Dataset, key: str,
 
 def grouped_join(left: rd.Dataset, right: rd.Dataset, on: str,
                  right_on: str | None = None) -> rd.Dataset:
-    right_on = right_on or on
-    lcols = left.schema().names
-    rcols = [c for c in right.schema().names if c != right_on]
-
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__key"] = df[on]
-        df["__side"] = 0
-        for c in rcols:
-            df[c] = None
-        return df
-
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({c: df[c] for c in rcols})
-        out["__key"] = df[right_on]
-        out["__side"] = 1
-        for c in lcols:
-            out[c] = None
-        return out[[*lcols, "__key", "__side", *rcols]]
-
-    unioned = (left.map_batches(tag_left, batch_format="pandas")
-               .union(right.map_batches(tag_right, batch_format="pandas")))
-
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0][[*lcols]]
-        rg = g[g["__side"] == 1][[*rcols]].assign(__k=g.loc[g["__side"] == 1, "__key"])
-        if lg.empty or rg.empty:
-            return pd.DataFrame({c: pd.Series([], dtype="object")
-                                 for c in [*lcols, *rcols]})
-        merged = lg.merge(rg, left_on=on, right_on="__k").drop(columns="__k")
-        return merged
-
-    return unioned.groupby("__key").map_groups(join_group, batch_format="pandas")
+    """Portable explicit equi-join: the ``salts=1`` case of
+    :func:`grouped_join_salted` (one sub-bucket per key = the plain
+    tag/union/groupby/merge pattern, no replication)."""
+    return grouped_join_salted(left, right, on, right_on, salts=1)

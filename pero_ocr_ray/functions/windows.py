@@ -19,18 +19,32 @@ _ARROW_UNIT = {"h": "hour", "H": "hour", "min": "minute", "T": "minute",
                "d": "day", "D": "day", "s": "second"}
 
 
+def _parse_freq(freq: str) -> tuple[int, str]:
+    """pandas-style offset alias -> (multiple, arrow unit): 'h' -> (1,
+    'hour'), '2h' -> (2, 'hour'), '30min' -> (30, 'minute') — the aliases
+    the pandas-based implementation accepted keep working."""
+    import re
+    m = re.fullmatch(r"(\d*)\s*([A-Za-z]+)", freq.strip())
+    if not m or m.group(2) not in _ARROW_UNIT:
+        raise ValueError(f"unsupported window freq {freq!r}; use "
+                         f"[N]{{{'/'.join(sorted(set(_ARROW_UNIT)))}}}")
+    return int(m.group(1) or 1), _ARROW_UNIT[m.group(2)]
+
+
 def tumbling_window_counts(ds: rd.Dataset, freq: str = "h") -> rd.Dataset:
     """-> (event_type, window_start, n_events) tumbling windows of `freq`.
     The partial is zero-copy Arrow: floor_temporal + Arrow group_by, no
     pandas conversion on the event stream."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    unit = _ARROW_UNIT[freq]
+    multiple, unit = _parse_freq(freq)
 
     def partial(t: pa.Table) -> pa.Table:
         # normalize to timestamp[us] before the int cast: pandas-sourced
         # blocks arrive as timestamp[ns] (the Timedelta-promotion gotcha)
-        win_us = pc.cast(pc.cast(pc.floor_temporal(t.column("ts"), unit=unit),
+        win_us = pc.cast(pc.cast(pc.floor_temporal(t.column("ts"),
+                                                   multiple=multiple,
+                                                   unit=unit),
                                  pa.timestamp("us")), pa.int64())
         key = pc.binary_join_element_wise(
             t.column("event_type"), pc.cast(win_us, pa.string()),

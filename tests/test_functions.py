@@ -567,3 +567,36 @@ def test_asof_join_bucketed_equals_plain():
                            bucket_freq="D")).to_pandas())
     assert plain == bucketed
     assert len(plain) == 180 + 5  # user 3's orphan purchase dropped
+
+
+def test_label_propagation_long_chain_pointer_jumping():
+    """A diameter-40 chain must converge within the default round budget
+    (pointer jumping: O(log diameter) rounds, not O(diameter))."""
+    import pyarrow as pa
+    from pero_ocr_ray.functions.dedup import label_propagation_components
+    edges = [(i, i + 1) for i in range(40)]
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    got = dataset_to_table(label_propagation_components(pairs, max_iters=12)
+                           ).to_pandas()
+    assert set(got["cluster_id"]) == {0}
+    assert len(got) == 41
+
+
+def test_tumbling_window_multi_unit_freq():
+    """pandas-style multi-unit aliases ('2h', '30min') keep working after
+    the Arrow conversion."""
+    from pero_ocr_ray.functions.windows import tumbling_window_counts
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 01:50",
+                         "2024-01-01 02:10", "2024-01-01 00:20"])
+    ds = rd.from_pandas(pd.DataFrame({
+        "ts": ts, "event_type": ["a", "a", "a", "b"],
+    }))
+    out = dataset_to_table(tumbling_window_counts(ds, "2h")).to_pandas()
+    out = out.sort_values(["event_type", "window_start"], ignore_index=True)
+    # 2h windows: [00:00,02:00) has a@00:10,a@01:50 and b@00:20; [02:00,..) a
+    assert out["n_events"].tolist() == [2, 1, 1]
+    with pytest.raises(ValueError, match="unsupported window freq"):
+        dataset_to_table(tumbling_window_counts(ds, "fortnight"))
