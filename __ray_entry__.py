@@ -166,6 +166,11 @@ def _q_token_counts(sf_dir: str):
     return token_counts(_docs(sf_dir))
 
 
+def _q_subword_counts(sf_dir: str):
+    from pero_ocr_ray.functions.textstats import subword_token_counts
+    return subword_token_counts(_docs(sf_dir))
+
+
 def _q_quality(sf_dir: str):
     from pero_ocr_ray.functions.textstats import quality_scores
     return quality_scores(_docs(sf_dir))
@@ -808,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_pages_latest": _q_dedup_pages,
         "merge_best": _q_merge_best,
         "doc_token_counts": _q_token_counts,
+        "doc_subword_counts": _q_subword_counts,
         "doc_quality": _q_quality,
         "doc_content_hash": _q_content_hash,
         "doc_lang_id": _q_lang_id,
@@ -986,6 +992,15 @@ def _page_quality_sql() -> str:
         FROM documents d LEFT JOIN q ON q.doc_id = d.doc_id"""
 
 
+def _subword_sql() -> str:
+    """BPE-ish subword counts: the exact kernel regex (RE2/Python-re
+    compatible by construction) evaluated by DuckDB."""
+    from pero_ocr_ray.kernels.textstats import SUBWORD_RE_STR
+    pat = SUBWORD_RE_STR.replace("'", "''")
+    return (f"SELECT doc_id, CAST(length(regexp_extract_all(text, "
+            f"'{pat}')) AS BIGINT) AS n_subwords FROM documents")
+
+
 def _hll_sql() -> str:
     """SQL rebuild of the engine's HyperLogLog sketch (kernels/hll.py):
     distinct whitespace tokens -> md5-high-64 hash -> register idx = top 12
@@ -1122,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
             FROM documents""",
+        "doc_subword_counts": _subword_sql(),
         "doc_quality": rf"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,

@@ -27,6 +27,18 @@ def token_counts(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def subword_token_counts(ds: rd.Dataset) -> rd.Dataset:
+    """-> (doc_id, n_subwords): BPE-ish pretoken counts (kernels.textstats
+    SUBWORD_RE — the GPT-2-style token-budget estimator; identical regex
+    evaluated by the DuckDB oracle). Vectorized str.count per batch."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_subwords": df["text"].str.count(K.SUBWORD_RE).astype("int64"),
+        })
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def quality_scores(ds: rd.Dataset) -> rd.Dataset:
     """-> integer quality features per doc (SQL-checkable)."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:

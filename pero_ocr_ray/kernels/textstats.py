@@ -32,8 +32,25 @@ LANG_PROFILES = {
 }
 
 
+# BPE-ish pretokenizer (GPT-2-style: contraction suffixes, space-prefixed
+# letter/digit/punct runs), restricted to constructs Python re and DuckDB's
+# RE2 evaluate identically — ASCII classes (RE2's \s is ASCII, Python's is
+# Unicode: never mix them in a shared pattern), no lookahead, leftmost-first
+# alternation (both engines). The SAME string is used verbatim in the SQL
+# oracle (apostrophes doubled for the literal).
+SUBWORD_RE_STR = (r"'(?:s|t|re|ve|m|ll|d)"
+                  r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9' \t\n\r\f\v]+")
+SUBWORD_RE = re.compile(SUBWORD_RE_STR)
+
+
 def token_count(text: str) -> int:
     return len(TOKEN_RE.findall(text))
+
+
+def subword_count(text: str) -> int:
+    """Number of BPE-ish subword pretokens (the token-budget estimator for
+    training-data curation; whitespace tokens are :func:`token_count`)."""
+    return len(SUBWORD_RE.findall(text))
 
 
 def quality_features(text: str) -> dict:

@@ -600,3 +600,16 @@ def test_tumbling_window_multi_unit_freq():
     assert out["n_events"].tolist() == [2, 1, 1]
     with pytest.raises(ValueError, match="unsupported window freq"):
         dataset_to_table(tumbling_window_counts(ds, "fortnight"))
+
+
+def test_subword_pretokenizer():
+    """BPE-ish pretokens: contractions split, letter/digit/punct runs keep
+    their leading space, whitespace itself is not a token; the pattern is
+    RE2-compatible so DuckDB evaluates it identically (oracle-checked)."""
+    assert K.SUBWORD_RE.findall("it's 2026!") == ["it", "'s", " 2026", "!"]
+    assert K.SUBWORD_RE.findall("Hello world, don't") == \
+        ["Hello", " world", ",", " don", "'t"]
+    assert K.subword_count("") == 0
+    # count >= whitespace tokens (pretokenization only splits further)
+    for t in ("a b c", "x,y.z", "don't stop-me now... 3.14"):
+        assert K.subword_count(t) >= K.token_count(t)
