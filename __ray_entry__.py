@@ -579,9 +579,10 @@ def _q_training_corpus_stats(sf_dir: str):
 
 
 def _q_select_config(sf_dir: str):
-    """select_embed_id analog (rows-only): evaluate candidate extraction
-    configs on a bounded ground-truth sample, report per-candidate CER and
-    the argmin."""
+    """select_embed_id analog: evaluate candidate extraction configs on a
+    bounded ground-truth sample, report per-candidate CER and the argmin.
+    Over the 'simple' template the per-candidate CERs are exact functions
+    of the config semantics, so the SQL oracle replays the sweep."""
     import pandas as pd
     from pero_ocr_ray.functions.select_config import select_best_config
     from pero_ocr_ray.kernels.config import ExtractConfig
@@ -992,6 +993,41 @@ def _page_quality_sql() -> str:
         FROM documents d LEFT JOIN q ON q.doc_id = d.doc_id"""
 
 
+def _select_config_sql() -> str:
+    """SQL mirror of _q_select_config over the 'simple' template: the
+    representative-candidate indices come from the same deterministic
+    farthest-point selection (inlined at build time, like the minhash
+    permutation constants); per-candidate CER is recomputed from the
+    config semantics — the default and link-weight candidates extract the
+    canonical text exactly (CER 0, the extract_simple invariant), the
+    page_min_chars=10000 candidate drops every page shorter than that
+    (per-doc errors = full reference length); best = (cer, index) argmin."""
+    from pero_ocr_ray.functions.select_config import (
+        select_representative_configs,
+    )
+    from pero_ocr_ray.kernels.config import ExtractConfig
+    cands = [ExtractConfig(), ExtractConfig(page_min_chars=10_000),
+             ExtractConfig(score_threshold=-5.0), ExtractConfig(link_weight=2.0)]
+    reps = select_representative_configs(cands, 3)
+    rows = []
+    for i in reps:
+        if cands[i].page_min_chars >= 10_000:
+            rows.append(f"SELECT {i} AS candidate, "
+                        f"(SELECT SUM(CASE WHEN length(ct) < "
+                        f"{cands[i].page_min_chars} THEN length(ct) "
+                        f"ELSE 0 END) * 1.0 / SUM(length(ct)) FROM s) AS cer")
+        else:
+            rows.append(f"SELECT {i} AS candidate, 0.0 AS cer")
+    return rf"""
+        WITH s AS (SELECT trim(regexp_replace(text, '\s+', ' ', 'g')) AS ct
+                   FROM documents ORDER BY doc_id LIMIT 100),
+        cers AS ({' UNION ALL '.join(rows)})
+        SELECT candidate, cer,
+               candidate = (SELECT candidate FROM cers
+                            ORDER BY cer, candidate LIMIT 1) AS is_best
+        FROM cers"""
+
+
 def _subword_sql() -> str:
     """BPE-ish subword counts: the exact kernel regex (RE2/Python-re
     compatible by construction) evaluated by DuckDB."""
@@ -1217,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment""",
         "approx_distinct_tokens": _hll_sql(),
+        "select_config": _select_config_sql(),
         "page_quality": _page_quality_sql(),
         "merge_best": rf"""
             WITH a AS (SELECT doc_id, {_URL_SQL} AS url,
