@@ -166,6 +166,24 @@ def _q_token_counts(sf_dir: str):
     return token_counts(_docs(sf_dir))
 
 
+def _q_top_tokens(sf_dir: str):
+    """Corpus-wide top-50 tokens: per-batch value-count partials ->
+    groupby Sum -> distributed top-k (never a vocabulary-wide sort)."""
+    from pero_ocr_ray.functions.textstats import top_tokens
+    return top_tokens(_docs(sf_dir), k=50)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic hash-based stratified sampling: keep 100 permille of
+    'en' docs, 500 of 'de', all others default 250 — the SQL oracle
+    evaluates the identical md5 permille predicate."""
+    from pero_ocr_ray.functions.sampling import stratified_sample
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+    return stratified_sample(docs, {"en": 100, "de": 500},
+                             default_permille=250)
+
+
 def _q_subword_counts(sf_dir: str):
     from pero_ocr_ray.functions.textstats import subword_token_counts
     return subword_token_counts(_docs(sf_dir))
@@ -815,6 +833,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_best": _q_merge_best,
         "doc_token_counts": _q_token_counts,
         "doc_subword_counts": _q_subword_counts,
+        "top_tokens": _q_top_tokens,
+        "stratified_sample": _q_stratified_sample,
         "doc_quality": _q_quality,
         "doc_content_hash": _q_content_hash,
         "doc_lang_id": _q_lang_id,
@@ -1174,6 +1194,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
             FROM documents""",
         "doc_subword_counts": _subword_sql(),
+        "top_tokens": """
+            WITH t AS (SELECT unnest(regexp_extract_all(lower(text),
+                                                        '[a-z0-9]+')) AS token
+                       FROM documents)
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM t GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT 50""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  )::UBIGINT % 1000
+                  < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 500
+                              ELSE 250 END""",
         "doc_quality": rf"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,

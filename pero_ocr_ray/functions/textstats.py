@@ -39,6 +39,42 @@ def subword_token_counts(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def top_tokens(ds: rd.Dataset, k: int = 50) -> rd.Dataset:
+    """-> (token, n) the corpus-wide k most frequent lowercase alnum
+    tokens (count desc, token asc tie-break).
+
+    Scale shape: per-batch vectorized token value-counts (combiner — the
+    shuffle moves per-token partials, bounded by the batch vocabulary, not
+    the token stream), one groupby(token) Sum, then a distributed top-k
+    (batch-local head + one tiny final) — never a full sort of the
+    vocabulary."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = (df["text"].str.lower().str.findall(K.SHINGLE_RE)
+                  .explode().value_counts())
+        return pd.DataFrame({"token": counts.index.astype(str),
+                             "n_partial": counts.values.astype("int64")})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("token").aggregate(Sum("n_partial", alias_name="n")))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"],
+                              ascending=[False, True]).head(k)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "token"],
+                            ascending=[False, True]).head(k)
+        return pd.DataFrame({"token": df["token"].astype(str),
+                             "n": df["n"].astype("int64")})
+
+    return (agg.map_batches(local_topk, batch_format="pandas")
+               .repartition(1)
+               .map_batches(final_topk, batch_format="pandas",
+                            batch_size=None))
+
+
 def quality_scores(ds: rd.Dataset) -> rd.Dataset:
     """-> integer quality features per doc (SQL-checkable)."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:

@@ -613,3 +613,44 @@ def test_subword_pretokenizer():
     # count >= whitespace tokens (pretokenization only splits further)
     for t in ("a b c", "x,y.z", "don't stop-me now... 3.14"):
         assert K.subword_count(t) >= K.token_count(t)
+
+
+def test_top_tokens_distributed():
+    import pyarrow as pa
+    from pero_ocr_ray.functions.textstats import top_tokens
+    texts = ["aa bb aa", "bb cc aa", "dd"] * 10
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(30)), pa.int64()),
+        "text": pa.array(texts * 1, pa.string()),
+    })).repartition(5)
+    out = dataset_to_table(top_tokens(ds, k=3)).to_pandas()
+    assert list(out["token"]) == ["aa", "bb", "cc"]
+    assert list(out["n"]) == [30, 20, 10]
+
+
+def test_stratified_sample_deterministic_and_nested():
+    import pyarrow as pa
+    from pero_ocr_ray.functions.sampling import hash_permille, stratified_sample
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(2000)), pa.int64()),
+        "lang": pa.array((["en", "de", "cs", "ar"] * 500), pa.string()),
+    }))
+    out = dataset_to_table(stratified_sample(
+        docs, {"en": 100, "de": 500}, default_permille=250)).to_pandas()
+    # exact membership: the hash predicate, independently evaluated
+    for r in out.itertuples():
+        lim = {"en": 100, "de": 500}.get(r.lang, 250)
+        assert hash_permille(r.doc_id) < lim
+    # determinism across partitioning
+    out2 = dataset_to_table(stratified_sample(
+        docs.repartition(13), {"en": 100, "de": 500}, 250)).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # nested: raising a rate strictly grows the sample
+    bigger = dataset_to_table(stratified_sample(
+        docs, {"en": 300, "de": 500}, 250)).to_pandas()
+    assert set(out["doc_id"]) <= set(bigger["doc_id"])
+    # roughly calibrated (hash uniformity)
+    n_en = (out["lang"] == "en").sum()
+    assert 25 <= n_en <= 80  # 500 en docs at 10% -> ~50
+    with pytest.raises(ValueError):
+        dataset_to_table(stratified_sample(docs, {"en": 2000}))
