@@ -108,7 +108,8 @@ def _q_extract_staged(sf_dir: str):
 
 
 def _q_dedup_pages(sf_dir: str):
-    """Url dedup keep-latest over pages with injected duplicates (rows-only)."""
+    """Url dedup keep-latest over pages with injected duplicates
+    (hash-checked: the oracle predicts the surviving row_id per url)."""
     import pyarrow as pa
     from pero_ocr_ray.pipelines.extract import dedup_pages
     from pero_ocr_ray.sources.pages import pages_from_documents
@@ -485,7 +486,8 @@ def _q_asof_purchase_view(sf_dir: str):
 
 def _q_warc_extract(sf_dir: str):
     """WARC-native input path: build a deterministic WARC from documents,
-    read it with the stdlib WARC source, extract (rows-only)."""
+    read it with the stdlib WARC source, extract (hash-checked against
+    the canonical-text oracle keyed by the WARC urls)."""
     import hashlib
     from pero_ocr_ray.pipelines.extract import extract_pipeline
     from pero_ocr_ray.sources.warc import make_warc
