@@ -118,10 +118,19 @@ def _collapse_pair(g: pd.DataFrame) -> tuple[str, str] | None:
 
 
 def compare_runs(a: rd.Dataset, b: rd.Dataset,
-                 normalize: bool = True) -> rd.Dataset:
+                 normalize: bool = True,
+                 max_chars: int | None = None) -> rd.Dataset:
     """Per-url error stats of run ``a`` (hyp) vs run ``b`` (ref) ->
     (url, char_errors, ref_chars, word_errors, ref_words). One url-keyed
-    shuffle; streams at corpus scale."""
+    shuffle; streams at corpus scale.
+
+    ``max_chars`` is the skew guard for web-scale corpora: Levenshtein is
+    quadratic for DISSIMILAR documents (the prefix/suffix trim only helps
+    near-identical pairs), so a single divergent multi-MB page can consume
+    a worker for minutes. When set, both sides are truncated to
+    ``max_chars`` before the edit stats (deterministic; documented
+    approximation — corpus CER over truncated prefixes). Unset = exact
+    (the gate/oracle configuration)."""
     def per_url(g: pd.DataFrame) -> pd.DataFrame:
         pair = _collapse_pair(g)
         if pair is None:
@@ -133,6 +142,8 @@ def compare_runs(a: rd.Dataset, b: rd.Dataset,
         hyp, ref = pair
         if normalize:
             hyp, ref = _normalize_ws(hyp), _normalize_ws(ref)
+        if max_chars is not None:
+            hyp, ref = hyp[:max_chars], ref[:max_chars]
         return pd.DataFrame({
             "url": [g["url"].iloc[0]],
             "char_errors": pd.Series(
@@ -149,11 +160,13 @@ def compare_runs(a: rd.Dataset, b: rd.Dataset,
 
 
 def compare_extractions(a: rd.Dataset, b: rd.Dataset,
-                        normalize: bool = True) -> dict:
+                        normalize: bool = True,
+                        max_chars: int | None = None) -> dict:
     """Corpus CER/WER of run ``a`` (hyp) against run ``b`` (ref), joined on
     url. Returns the aggregated stats dict (small driver-side result; the
-    per-doc work is fully distributed — see :func:`compare_runs`)."""
-    per = compare_runs(a, b, normalize=normalize)
+    per-doc work is fully distributed — see :func:`compare_runs`, incl.
+    the ``max_chars`` skew guard)."""
+    per = compare_runs(a, b, normalize=normalize, max_chars=max_chars)
 
     def add_count(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -624,3 +624,18 @@ def test_compare_self_zero_even_with_dup_urls():
     stats = compare_extractions(out, out)
     assert stats["cer"] == 0.0 and stats["wer"] == 0.0
     assert stats["n_docs"] == len(set(pages.column("url").to_pylist()))
+
+
+def test_compare_runs_max_chars_guard():
+    """The max_chars skew guard truncates both sides deterministically;
+    unset stays exact (the gate configuration)."""
+    import pyarrow as pa
+    from pero_ocr_ray.functions.quality import compare_runs
+    a = rd.from_arrow(pa.table({
+        "url": ["u1"], "extracted_text": ["abcdefgh" * 4]}))
+    b = rd.from_arrow(pa.table({
+        "url": ["u1"], "extracted_text": ["abcdXfgh" * 4]}))
+    exact = dataset_to_table(compare_runs(a, b)).to_pandas()
+    assert exact["char_errors"].iloc[0] == 4 and exact["ref_chars"].iloc[0] == 32
+    capped = dataset_to_table(compare_runs(a, b, max_chars=8)).to_pandas()
+    assert capped["char_errors"].iloc[0] == 1 and capped["ref_chars"].iloc[0] == 8
