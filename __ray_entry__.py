@@ -313,6 +313,25 @@ def _q_simhash_sigs(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3 via 4-block pigeonhole) over
+    documents + injected near-copies; the oracle recomputes signatures,
+    block buckets (with the MAX_BUCKET cap) and exact hamming in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pero_ocr_ray.functions.dedup import simhash_near_dup_pairs
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    head = tbl.filter(pc.less(tbl.column("doc_id"), 10))
+    mod = pc.binary_join_element_wise(
+        head.column("text"), pa.scalar(" extra tail words"), pa.scalar(""))
+    dups = pa.table({"doc_id": pc.add(head.column("doc_id"),
+                                      pa.scalar(1_000_000, pa.int64())),
+                     "text": mod})
+    both = pa.concat_tables([tbl, dups])
+    return simhash_near_dup_pairs(rd.from_arrow(both), max_hamming=3)
+
+
 def _q_knn(sf_dir: str):
     from pero_ocr_ray.functions.similarity import knn_self_queries
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -845,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "jaccard_near_dup_pairs": _q_jaccard_pairs,
         "simhash_signatures": _q_simhash_sigs,
+        "simhash_near_dup_pairs": _q_simhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
         "orders_per_segment": _q_orders_per_segment,
         "asof_purchase_view_bucketed": _q_asof_bucketed,
@@ -1156,6 +1176,69 @@ def _minhash_sql(threshold: float = 0.7) -> str:
         WHERE est_jaccard >= {threshold}"""
 
 
+def _simhash_base_sql(source: str = "documents") -> str:
+    """SimHash signature computation over an arbitrary doc source CTE."""
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM {source}),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    h AS (SELECT doc_id, c,
+                 ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM wc),
+    b AS (SELECT doc_id, bit,
+                 SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN c ELSE -c END) AS acc
+          FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) bits
+          GROUP BY doc_id, bit),
+    s AS (SELECT doc_id,
+                 SUM(CASE WHEN acc > 0 THEN
+                       CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                            ELSE (1::BIGINT << bit) END
+                     ELSE 0 END) AS simhash
+          FROM b GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(CAST(s.simhash AS BIGINT), 0) AS simhash
+    FROM {source} d LEFT JOIN s ON d.doc_id = s.doc_id"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """SimHash near-dup PAIRS oracle over documents + injected near-copies
+    (docs 0..9 with a 3-word tail, ids +1e6): signatures via
+    :func:`_simhash_base_sql`, 16-bit-block pigeonhole candidates with the
+    engine's deterministic MAX_BUCKET cap, exact hamming via
+    bit_count(xor) on the two's-complement BIGINT view."""
+    from pero_ocr_ray.functions.dedup import MAX_BUCKET
+    two64 = 1 << 64
+    return f"""
+        WITH docs2 AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text || ' extra tail words'
+            FROM documents WHERE doc_id < 10),
+        sigs AS ({_simhash_base_sql('docs2')}),
+        u AS (SELECT doc_id, simhash,
+                     (CAST(simhash AS HUGEINT) + {two64}) % {two64} AS us
+              FROM sigs),
+        pw(blk, dv) AS (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+                               (2, 4294967296::HUGEINT),
+                               (3, 281474976710656::HUGEINT)),
+        blocks AS (SELECT doc_id, simhash, pw.blk,
+                          CAST((us // pw.dv) % 65536 AS BIGINT) AS part
+                   FROM u CROSS JOIN pw),
+        capped AS (SELECT * FROM (
+                       SELECT doc_id, simhash, blk, part,
+                              row_number() OVER (PARTITION BY blk, part
+                                                 ORDER BY doc_id) AS rn
+                       FROM blocks)
+                   WHERE rn <= {MAX_BUCKET}),
+        pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                         bit_count(xor(x.simhash, y.simhash)) AS hamming
+                  FROM capped x JOIN capped y
+                    ON y.blk = x.blk AND y.part = x.part
+                   AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        FROM pairs WHERE hamming <= {max_hamming}"""
+
+
 _SIMHASH_SQL = r"""
     WITH toks AS (
         SELECT doc_id,
@@ -1271,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = inter.doc_b
             WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= 0.6""",
         "simhash_signatures": _SIMHASH_SQL,
+        "simhash_near_dup_pairs": _simhash_pairs_sql(3),
         "minhash_near_dup_pairs": _minhash_sql(0.7),
         "near_dup_clusters": f"""
             WITH RECURSIVE prs AS ({_minhash_sql(0.7)}),
