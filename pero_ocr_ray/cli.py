@@ -75,7 +75,12 @@ def cmd_merge(args) -> int:
     merged = merge_results([r.select_columns(["url", "extracted_text"])
                             for r in runs])
     merged.write_parquet(args.output)
-    print(json.dumps({"rows": merged.count()}))
+    # count from the written files — re-consuming the lazy Dataset would
+    # re-execute the whole union+groupby merge a second time
+    import pyarrow.parquet as pq
+    n = sum(pq.read_metadata(os.path.join(args.output, f)).num_rows
+            for f in os.listdir(args.output) if f.endswith(".parquet"))
+    print(json.dumps({"rows": n}))
     return 0
 
 

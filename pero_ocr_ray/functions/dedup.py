@@ -374,13 +374,18 @@ def jaccard_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.6,
 # -- SimHash ---------------------------------------------------------------
 
 
+def _to_int64(u: int) -> int:
+    """uint64 -> two's-complement int64 (Arrow-friendly), pure Python."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 class SimHashStage:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            # int64 view of the uint64 simhash (Arrow-friendly)
-            "simhash": [np.uint64(K.simhash64(t)).astype(np.int64)
-                        for t in df["text"]],
+            # two's-complement int64 view of the uint64 simhash (pure
+            # Python int ops: np.uint64(negative) is an error in numpy 2.x)
+            "simhash": [_to_int64(K.simhash64(t)) for t in df["text"]],
         })
 
 
@@ -399,9 +404,9 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rows = {"block_key": [], "doc_id": [], "simhash": []}
         for did, sh in zip(df["doc_id"], df["simhash"]):
-            u = np.uint64(sh)
+            u = int(sh) & 0xFFFFFFFFFFFFFFFF  # uint64 view via Python int
             for blk in range(4):
-                part = int((u >> np.uint64(16 * blk)) & np.uint64(0xFFFF))
+                part = (u >> (16 * blk)) & 0xFFFF
                 rows["block_key"].append(f"{blk}:{part}")
                 rows["doc_id"].append(int(did))
                 rows["simhash"].append(int(sh))
@@ -419,8 +424,8 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
         out = {"doc_a": [], "doc_b": [], "hamming": []}
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                d = K.hamming64(np.uint64(shs[i]).item() & 0xFFFFFFFFFFFFFFFF,
-                                np.uint64(shs[j]).item() & 0xFFFFFFFFFFFFFFFF)
+                d = K.hamming64(int(shs[i]) & 0xFFFFFFFFFFFFFFFF,
+                                int(shs[j]) & 0xFFFFFFFFFFFFFFFF)
                 if d <= max_hamming:
                     out["doc_a"].append(ids[i])
                     out["doc_b"].append(ids[j])

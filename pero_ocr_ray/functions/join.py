@@ -116,6 +116,15 @@ def grouped_join_salted(left: rd.Dataset, right: rd.Dataset, on: str,
     right_on = right_on or on
     lcols = left.schema().names
     rcols = [c for c in right.schema().names if c != right_on]
+    overlap = (set(lcols) - {on}) & set(rcols)
+    if overlap:
+        # the tag/union encoding carries left and right values in the SAME
+        # columns — a shared non-key name would silently null the right
+        # side; fail loudly instead (rename upstream, or use hash_join,
+        # which suffixes)
+        raise ValueError(
+            f"left and right share non-key column(s) {sorted(overlap)}; "
+            f"rename them before the grouped join or use hash_join")
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

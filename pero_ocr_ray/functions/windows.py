@@ -73,6 +73,11 @@ def sliding_window_counts(ds: rd.Dataset, size_hours: int = 2,
     """-> (event_type, window_start, n_events) sliding windows: each event
     lands in size/step consecutive step-aligned windows (exploded in the
     partial stage, so the shuffle still moves per-window partials)."""
+    if size_hours % step_hours != 0:
+        raise ValueError(
+            f"size_hours ({size_hours}) must be a multiple of step_hours "
+            f"({step_hours}): fractional window membership would be "
+            f"silently dropped by the step-aligned explode")
     k = size_hours // step_hours
 
     import pyarrow as pa

@@ -27,6 +27,12 @@ def parse_payload(raw: bytes, cfg: ExtractConfig = DEFAULT_CONFIG):
     """raw payload -> (blocks, payload_kind, encoding, error)."""
     kind = payload_kind(raw)
     if kind == "pdf":
+        if raw is not None and len(raw) > cfg.max_payload_bytes:
+            # the skew guard applies to PDFs too — but a PDF cannot be
+            # truncated meaningfully (xref at the tail), so an oversized
+            # one degrades to an error-flagged empty row instead of
+            # pinning a worker on multi-hundred-MB regex scans
+            return [], kind, "binary", "payload_too_large"
         blocks, error = pdf_blocks(raw)
         return blocks, kind, "binary", error
     text, encoding, error = decode_payload(raw, cfg)

@@ -158,8 +158,23 @@ class _BlockBuilder(HTMLParser):
         cur["src_end"] = src_end
         self.blocks.append(cur)
 
+    def _last_skip_index(self) -> int:
+        """Stack index of the innermost open SKIP element (-1 if none)."""
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag in SKIP_TAGS:
+                return i
+        return -1
+
     # -- HTMLParser callbacks ----------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
+        if self.skip_depth > 0:
+            # invisible subtree (script/style/template/noscript): track the
+            # stack so the matching end tag closes it, but contribute NO
+            # visible side effects — no <br> markers, no block flushes, no
+            # implied closes of VISIBLE elements (content loss otherwise)
+            if tag not in VOID_TAGS:
+                self._push(tag, attrs)
+            return
         implied = IMPLIED_CLOSE.get(tag)
         if implied:
             while self.stack and self.stack[-1].tag in implied:
@@ -184,14 +199,21 @@ class _BlockBuilder(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_TAGS:
             return
+        # inside an invisible subtree, a close may only match elements of
+        # that subtree (a stray </p> in noscript markup must never pop —
+        # and flush — visible structure outside it); the skip element's own
+        # close always matches itself
+        floor = self._last_skip_index() if self.skip_depth > 0 else -1
+        if floor >= 0 and self.stack[floor].tag == tag:
+            floor -= 1
         depth = None
-        for i in range(len(self.stack) - 1, -1, -1):
+        for i in range(len(self.stack) - 1, floor, -1):
             if self.stack[i].tag == tag:
                 depth = i
                 break
         if depth is None:
             return  # stray close: ignore (lenient recovery)
-        if tag in BLOCK_TAGS:
+        if tag in BLOCK_TAGS and self.skip_depth == 0:
             self._flush()
         while len(self.stack) > depth:
             self._pop_one()

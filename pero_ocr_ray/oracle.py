@@ -97,8 +97,11 @@ def extract_table(pages: pa.Table, cfg: ExtractConfig = DEFAULT_CONFIG) -> pa.Ta
              if "lang" in pages.column_names else [""] * len(urls))
     tss = (pages.column("warc_ts").to_pylist()
            if "warc_ts" in pages.column_names else [None] * len(urls))
+    # -1 matches the Ray stages' default for missing row_id (a positional
+    # default would diverge: batch positions are meaningless under
+    # distribution, and the gate compares oracle vs pipeline byte-for-byte)
     row_ids = (pages.column("row_id").to_pylist()
-               if "row_id" in pages.column_names else list(range(len(urls))))
+               if "row_id" in pages.column_names else [-1] * len(urls))
     rows = []
     for url, raw, lang, ts, rid in zip(urls, htmls, langs, tss, row_ids):
         out = extract_document(url, raw, cfg)

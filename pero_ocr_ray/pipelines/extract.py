@@ -61,13 +61,20 @@ def dedup_pages(ds: rd.Dataset) -> rd.Dataset:
             return group
         if "row_id" in group.column_names:
             keys = group.select(["warc_ts", "row_id"])
+            tie = ("row_id", "ascending")
         else:
+            # no lineage id: tie-break on content hash — positional order
+            # within the group depends on shuffle arrival and would make
+            # the survivor nondeterministic when warc_ts values tie
+            import hashlib
+            digests = [hashlib.md5(h or b"").hexdigest()
+                       for h in group.column("html").to_pylist()]
             keys = pa.table({
                 "warc_ts": group.column("warc_ts"),
-                "row_id": pa.array(range(group.num_rows), pa.int64()),
+                "html_md5": pa.array(digests, pa.string()),
             })
-        idx = pc.sort_indices(keys, sort_keys=[("warc_ts", "ascending"),
-                                               ("row_id", "ascending")])
+            tie = ("html_md5", "ascending")
+        idx = pc.sort_indices(keys, sort_keys=[("warc_ts", "ascending"), tie])
         return group.take(idx[-1:])
 
     return ds.groupby("url").map_groups(keep_latest, batch_format="pyarrow")
@@ -215,6 +222,11 @@ def run_job(input_paths: list[str] | str, out_dir: str,
         out = extract_pipeline(ds, cfg, mode=mode, concurrency=concurrency)
         tmp = os.path.join(out_dir, f"_tmp_{key}")
         final = os.path.join(out_dir, key)
+        if os.path.exists(tmp):
+            # a crash mid-write leaves partial files here; writing alongside
+            # them would publish duplicated rows on commit
+            import shutil
+            shutil.rmtree(tmp)
         out.write_parquet(tmp)
         n_rows = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows
                      for f in os.listdir(tmp) if f.endswith(".parquet"))

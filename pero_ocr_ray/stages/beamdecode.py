@@ -51,24 +51,35 @@ class BeamDecodeStage:
         self.noise = noise
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        supported = set(self.letters) - {BLANK}
         ids, texts, confs, nlines = [], [], [], []
         for did, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
-            state = None  # per-document LM reset (last_h reset analog)
-            decoded, conf_min = [], 1.0
-            for j, line in enumerate(split_lines(text)):
-                lattice = text_to_lattice(line, self.letters, self.noise,
-                                          seed_salt=f"{did}:{j}")
-                bag, state = ctc_prefix_beam_decode(
-                    lattice, self.letters, self.k, lm=self.lm,
-                    lm_scale=self.lm_scale, init_state=state,
-                    return_state=True)
-                decoded.append(bag.best_hyp())
-                conf_min = min(conf_min, bag.confidence())
+            try:
+                # lattice alphabet is lowercase+space: normalize and drop
+                # unsupported chars up front (a poison doc must degrade,
+                # never kill the batch — skip-and-continue invariant)
+                clean = "".join(c for c in (text or "").lower()
+                                if c in supported)
+                state = None  # per-document LM reset (last_h reset analog)
+                decoded, conf_min = [], 1.0
+                for j, line in enumerate(split_lines(clean)):
+                    lattice = text_to_lattice(line, self.letters, self.noise,
+                                              seed_salt=f"{did}:{j}")
+                    bag, state = ctc_prefix_beam_decode(
+                        lattice, self.letters, self.k, lm=self.lm,
+                        lm_scale=self.lm_scale, init_state=state,
+                        return_state=True)
+                    decoded.append(bag.best_hyp())
+                    conf_min = min(conf_min, bag.confidence())
+                texts.append("\n".join(decoded))
+                confs.append(conf_min)
+                nlines.append(len(decoded))
+            except Exception:  # per-row degradation, never a batch failure
+                texts.append("")
+                confs.append(0.0)
+                nlines.append(0)
             ids.append(did)
-            texts.append("\n".join(decoded))
-            confs.append(conf_min)
-            nlines.append(len(decoded))
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "decoded_text": pa.array(texts, pa.string()),

@@ -159,7 +159,10 @@ def parse_stage(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
                                     batch.column("html").to_pylist(),
                                     batch.column("error").to_pylist()):
         if kind == "pdf":
-            blocks, perr = pdf_blocks(raw)
+            if raw is not None and len(raw) > cfg.max_payload_bytes:
+                blocks, perr = [], "payload_too_large"  # emit.py guard mirror
+            else:
+                blocks, perr = pdf_blocks(raw)
             errs.append((err + ";" if err and perr else err) + (perr or ""))
         else:
             try:

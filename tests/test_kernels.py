@@ -285,3 +285,36 @@ def test_poison_row_degrades_to_error():
     assert out["extracted_text"] == ""
     assert out["error"] == "extract_error:RuntimeError"
     assert out["metrics"]["blocks_total"] == 0
+
+
+def test_invisible_subtrees_contribute_nothing():
+    """Content inside script/style/template/noscript must not leak text,
+    line breaks, or block-structure side effects into visible blocks —
+    a <noscript><div>ad</div></noscript> inside a paragraph previously
+    split it and edge-dropped the prefix (content loss)."""
+    from pero_ocr_ray.kernels.config import DEFAULT_CONFIG
+    from pero_ocr_ray.kernels.emit import extract_document
+
+    def text_of(html: bytes) -> str:
+        return extract_document("u", html, DEFAULT_CONFIG)["extracted_text"]
+
+    base = b"hello there my good friend how are you doing today"
+    tail = b" world of many more words here to keep the block alive"
+    plain = text_of(b"<p>" + base + tail + b"</p>")
+    # invisible div must not split the visible block
+    assert text_of(b"<p>" + base +
+                   b"<noscript><div>ad banner</div></noscript>" + tail +
+                   b"</p>") == plain
+    # invisible <br> must not inject a line break
+    assert text_of(b"<p>" + base + b"<template><br>zz</template>" + tail +
+                   b"</p>") == plain
+    # a stray </p> inside the invisible subtree must not close the
+    # visible paragraph
+    assert text_of(b"<p>" + base +
+                   b"<noscript></p><div>x</div></noscript>" + tail +
+                   b"</p>") == plain
+    # script/style content stays invisible (including markup-like text)
+    assert text_of(b"<style>p {color: red}</style><p>" + base + tail +
+                   b"</p>") == plain
+    assert text_of(b"<p>" + base + b"<script>var x = '<div>'</script>" +
+                   tail + b"</p>") == plain

@@ -203,3 +203,23 @@ def test_read_job_output_rejects_overlapping_manifest(tmp_path, pages):
     os.makedirs(os.path.join(out_dir, "part-forged-0000000000"), exist_ok=True)
     with pytest.raises(ValueError, match="manifest corrupt"):
         read_job_output(out_dir)
+
+
+def test_run_job_cleans_stale_tmp_dir(tmp_path, pages):
+    """A crash mid-write leaves partial files in _tmp_{key}; the rerun must
+    replace them, not publish old+new files side by side (row duplication)."""
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    import pyarrow.parquet as pq
+    p = str(in_dir / "shard.parquet")
+    pq.write_table(pages.slice(0, 12), p)
+    from pero_ocr_ray.pipelines.extract import _partition_key
+    key = _partition_key([p])
+    stale = os.path.join(out_dir, f"_tmp_{key}")
+    os.makedirs(stale)
+    pq.write_table(pages.slice(0, 5), os.path.join(stale, "zz_stale.parquet"))
+    stats = run_job([p], out_dir, concurrency=2)
+    assert stats["rows"] == 12
+    tbl = dataset_to_table(read_job_output(out_dir))
+    assert tbl.num_rows == 12  # stale partial rows were not published
