@@ -34,11 +34,16 @@ from pero_ocr_ray.state.manifest import Manifest
 
 
 def _auto_concurrency() -> int:
-    """Parse-actor pool size: half the CPUs (measured sweet spot — leaves
-    headroom for read/write tasks and Arrow work; a pool of cpus-1 starves
-    the surrounding stages and pays more actor startup)."""
+    """Parse-actor pool size: 3/8 of the CPUs.
+
+    Re-measured after the segment fast-path made the parse kernel ~2x
+    faster: interleaved sweeps at 32 cpus put 12 actors equal-to-better
+    than the old 16 within the box's noise band (bests 4.7-5.9 s vs
+    5.0-7.0 s), 3 ≈ 4 at 8 cpus, and OVERSIZING is the real hazard —
+    pools at cpus*5/8+ collapse throughput 3-4x by starving the
+    read/decompress/write tasks that now bound the wall."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, cpus // 2)
+    return max(1, (cpus * 3) // 8)
 
 
 def read_pages(source, columns: list[str] | None = None) -> rd.Dataset:
