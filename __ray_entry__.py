@@ -606,6 +606,22 @@ def _q_searchable_pdf(sf_dir: str):
     return pdfs.map_batches(verify, batch_format="pyarrow")
 
 
+def _q_training_corpus_v2(sf_dir: str):
+    """FULL curation chain in one stream — exact dedup, transitive
+    near-dup drop (LSH pairs + label propagation, removed via a native
+    left_anti join), quality filter, deterministic stratified sample,
+    per-lang token+subword budgets — hash-checked against ONE DuckDB
+    query that replays every stage (recursive CTE for the clusters)."""
+    from pero_ocr_ray.pipelines.training_data import training_corpus_stats_v2
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    return training_corpus_stats_v2(docs, min_tokens=20,
+                                    max_stopword_ratio=0.5,
+                                    near_dup_threshold=0.7,
+                                    rates_permille={"en": 600, "de": 800},
+                                    default_permille=700)
+
+
 def _q_training_corpus_stats(sf_dir: str):
     """Composed curation pipeline: exact dedup -> quality filter ->
     per-lang stats in one streaming chain; the oracle replays the whole
@@ -895,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compare_runs_cer": _q_compare_runs_cer,
         "beam_decode_docs": _q_beam_decode,
         "training_corpus_stats": _q_training_corpus_stats,
+        "training_corpus_v2": _q_training_corpus_v2,
         "select_config": _q_select_config,
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
@@ -1070,6 +1087,54 @@ def _select_config_sql() -> str:
         FROM cers"""
 
 
+def _training_v2_sql() -> str:
+    """Whole-chain oracle for training_corpus_v2: one DuckDB query that
+    replays exact dedup, MinHash-LSH pairs over the survivors, the
+    transitive closure (recursive CTE), cluster-minima near-dup drops, the
+    quality filter, the md5-permille stratified sample, and the per-lang
+    token/subword budgets."""
+    from pero_ocr_ray.kernels.textstats import SUBWORD_RE_STR
+    sub_pat = SUBWORD_RE_STR.replace("'", "''")
+    return rf"""
+        WITH RECURSIVE
+        surv AS (SELECT min(doc_id) AS doc_id, text
+                 FROM documents GROUP BY text),
+        svd AS (SELECT s.doc_id, s.text, d.lang
+                FROM surv s JOIN documents d ON d.doc_id = s.doc_id),
+        prs AS ({_minhash_sql(0.7, "svd")}),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION ALL SELECT doc_b, doc_a FROM prs),
+        nodes AS (SELECT DISTINCT a AS d FROM edges),
+        reach(d, n) AS (
+            SELECT d, d FROM nodes
+            UNION
+            SELECT r.d, e.b FROM reach r JOIN edges e ON e.a = r.n),
+        clusters AS (SELECT d AS doc_id, MIN(n) AS cluster_id
+                     FROM reach GROUP BY d),
+        drops AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id),
+        kept0 AS (SELECT * FROM svd
+                  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        feat AS (SELECT doc_id, lang,
+                        CAST(length(regexp_extract_all(text, '\S+'))
+                             AS BIGINT) AS n_tokens,
+                        CAST(length(regexp_extract_all(text, '{sub_pat}'))
+                             AS BIGINT) AS n_subwords,
+                        CAST(length(regexp_extract_all(lower(text),
+                             '{_STOPWORD_SQL}')) AS BIGINT) AS n_stop
+                 FROM kept0),
+        kept AS (SELECT * FROM feat
+                 WHERE n_tokens >= 20 AND n_stop <= 0.5 * n_tokens),
+        sampled AS (SELECT * FROM kept
+                    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8))::UBIGINT % 1000
+                          < CASE lang WHEN 'en' THEN 600
+                                      WHEN 'de' THEN 800 ELSE 700 END)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(n_subwords) AS BIGINT) AS sum_subwords
+        FROM sampled GROUP BY lang"""
+
+
 def _subword_sql() -> str:
     """BPE-ish subword counts: the exact kernel regex (RE2/Python-re
     compatible by construction) evaluated by DuckDB."""
@@ -1115,7 +1180,7 @@ def _hll_sql() -> str:
         FROM e"""
 
 
-def _minhash_sql(threshold: float = 0.7) -> str:
+def _minhash_sql(threshold: float = 0.7, source: str = "documents") -> str:
     """From-scratch SQL mirror of functions.dedup.minhash_near_dup_pairs:
     trigram shingles -> md5-low-64 hashes -> 64 permutations
     ``(a*x + b) mod p`` with the uint64 product wrap made explicit
@@ -1133,7 +1198,7 @@ def _minhash_sql(threshold: float = 0.7) -> str:
         WITH perms(i, a, b) AS (VALUES {perm_rows}),
         t AS (SELECT doc_id,
                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-              FROM documents),
+              FROM {source}),
         tok AS (SELECT doc_id, unnest(toks) AS w,
                        generate_subscripts(toks, 1) AS i FROM t),
         tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
@@ -1373,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_mktsegment""",
         "approx_distinct_tokens": _hll_sql(),
         "select_config": _select_config_sql(),
+        "training_corpus_v2": _training_v2_sql(),
         "page_quality": _page_quality_sql(),
         "merge_best": rf"""
             WITH a AS (SELECT doc_id, {_URL_SQL} AS url,

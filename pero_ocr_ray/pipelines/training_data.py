@@ -67,3 +67,89 @@ def corpus_stats(curated: rd.Dataset) -> rd.Dataset:
 def training_corpus_stats(documents: rd.Dataset, min_tokens: int = 20,
                           max_stopword_ratio: float = 0.5) -> rd.Dataset:
     return corpus_stats(curate(documents, min_tokens, max_stopword_ratio))
+
+
+# ---------------------------------------------------------------------------
+# v2: the full curation chain (every major engine subsystem in one stream)
+# ---------------------------------------------------------------------------
+
+
+def curate_full(documents: rd.Dataset, min_tokens: int = 20,
+                max_stopword_ratio: float = 0.5,
+                near_dup_threshold: float = 0.7,
+                rates_permille: dict[str, int] | None = None,
+                default_permille: int = 700) -> rd.Dataset:
+    """documents -> fully curated rows, as one composition:
+
+        exact dedup (md5 groupby, keep min doc_id)              # shuffle 1
+        -> transitive near-dup drop (MinHash-LSH pairs + label  # shuffles 2..
+           propagation; each cluster keeps its min doc_id; the
+           drop set is removed with a NATIVE left_anti join —
+           near-dups can be a large corpus fraction, so the drop
+           set is never collected on the driver)
+        -> quality filter (vectorized token/stopword features)   # narrow
+        -> deterministic stratified sample (md5 permille)        # narrow
+
+    Adds ``n_tokens`` and ``n_subwords`` columns (the whitespace and
+    BPE-ish token budgets) to the surviving rows."""
+    from pero_ocr_ray.functions.dedup import minhash_dedup_cluster_drop_ids
+    from pero_ocr_ray.functions.join import hash_join
+    from pero_ocr_ray.functions.sampling import stratified_sample
+
+    # materialize the survivor set ONCE: it feeds both the clustering chain
+    # and the anti-join, and leaving it lazy makes Ray re-execute the dedup
+    # shuffle concurrently with the join aggregators — on small clusters
+    # the reserved CPUs deadlock (CLAUDE.md composition gotcha). This is
+    # the natural phase checkpoint of a curation run anyway (at 100 TB:
+    # write survivors to parquet between phases instead).
+    survivors = exact_dedup(documents).repartition(8).materialize()
+    drops = minhash_dedup_cluster_drop_ids(
+        survivors, near_dup_threshold).repartition(4)
+    kept = hash_join(survivors,
+                     drops.map_batches(
+                         lambda df: df.rename(columns={"doc_id": "drop_id"}),
+                         batch_format="pandas"),
+                     on="doc_id", right_on="drop_id", join_type="left_anti")
+
+    def quality_filter(df: pd.DataFrame) -> pd.DataFrame:
+        n_tokens = df["text"].str.count(K.TOKEN_RE)
+        n_sub = df["text"].str.count(K.SUBWORD_RE)
+        n_stop = df["text"].str.lower().str.count(K.STOPWORD_RE)
+        keep = (n_tokens >= min_tokens) & \
+               (n_stop <= max_stopword_ratio * n_tokens)
+        out = df.loc[keep].copy()
+        out["n_tokens"] = n_tokens[keep].astype("int64")
+        out["n_subwords"] = n_sub[keep].astype("int64")
+        return out
+
+    filtered = kept.map_batches(quality_filter, batch_format="pandas")
+    return stratified_sample(filtered, rates_permille or {},
+                             default_permille=default_permille)
+
+
+def training_corpus_stats_v2(documents: rd.Dataset, **kwargs) -> rd.Dataset:
+    """-> (lang, n_docs, sum_tokens, sum_subwords) over the fully curated
+    corpus (:func:`curate_full`) — the whole-chain correctness surface."""
+    curated = curate_full(documents, **kwargs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("lang", as_index=False)
+                  .agg(n_partial=("doc_id", "size"),
+                       tok_partial=("n_tokens", "sum"),
+                       sub_partial=("n_subwords", "sum")))
+
+    agg = (curated.map_batches(partial, batch_format="pandas")
+           .groupby("lang").aggregate(
+               Sum("n_partial", alias_name="n_docs"),
+               Sum("tok_partial", alias_name="sum_tokens"),
+               Sum("sub_partial", alias_name="sum_subwords")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "n_docs": df["n_docs"].astype("int64"),
+            "sum_tokens": df["sum_tokens"].astype("int64"),
+            "sum_subwords": df["sum_subwords"].astype("int64"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")

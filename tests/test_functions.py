@@ -654,3 +654,30 @@ def test_stratified_sample_deterministic_and_nested():
     assert 25 <= n_en <= 80  # 500 en docs at 10% -> ~50
     with pytest.raises(ValueError):
         dataset_to_table(stratified_sample(docs, {"en": 2000}))
+
+
+def test_curate_full_drops_near_dup_cluster_members():
+    """The full curation chain removes exact dups AND transitive near-dup
+    cluster members via the native anti-join, keeps budgets columns."""
+    import pyarrow as pa
+    from pero_ocr_ray.pipelines.training_data import curate_full
+    base = [f"tok{j:03d}" for j in range(60)]
+    texts = {
+        0: " ".join(base[0:30]),
+        1: " ".join(base[3:33]),    # near-dup of 0 (chain)
+        2: " ".join(base[6:36]),    # near-dup of 1 (A~B~C)
+        3: " ".join(f"zz{j}" for j in range(30)),   # unrelated
+        4: " ".join(base[0:30]),    # exact dup of 0
+    }
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+    }))
+    out = dataset_to_table(curate_full(
+        docs, min_tokens=5, near_dup_threshold=0.7,
+        default_permille=1000)).to_pandas()
+    # exact dup 4 gone; near-dup chain 1,2 gone (cluster min 0 survives)
+    assert sorted(out["doc_id"]) == [0, 3]
+    assert {"n_tokens", "n_subwords", "lang"} <= set(out.columns)
+    assert (out["n_tokens"] == 30).all()
