@@ -185,6 +185,32 @@ def _q_stratified_sample(sf_dir: str):
                              default_permille=250)
 
 
+def _q_domain_counts(sf_dir: str):
+    """Pages per host over the simple pages corpus (combiner partials +
+    tiny groupby); the oracle extracts hosts with the identical regex."""
+    from pero_ocr_ray.functions.domains import domain_counts
+    return domain_counts(_pages(sf_dir, "simple"))
+
+
+def _q_domain_cap(sf_dir: str):
+    """Domain diversity cap: at most 3 docs per host, smallest doc_ids win
+    (one host-keyed shuffle; SQL mirror = row_number <= 3)."""
+    from pero_ocr_ray.functions.domains import cap_per_domain
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+    import pandas as pd
+
+    def add_url(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["url"] = ("https://site" + (df["doc_id"] % 97).astype(str)
+                     + ".example/d/" + df["doc_id"].astype(str))
+        return df
+
+    with_urls = docs.map_batches(add_url, batch_format="pandas")
+    return (cap_per_domain(with_urls, cap=3)
+            .select_columns(["doc_id", "url", "lang"]))
+
+
 def _q_subword_counts(sf_dir: str):
     from pero_ocr_ray.functions.textstats import subword_token_counts
     return subword_token_counts(_docs(sf_dir))
@@ -870,6 +896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_best": _q_merge_best,
         "doc_token_counts": _q_token_counts,
         "doc_subword_counts": _q_subword_counts,
+        "domain_counts": _q_domain_counts,
+        "domain_cap": _q_domain_cap,
         "top_tokens": _q_top_tokens,
         "stratified_sample": _q_stratified_sample,
         "doc_quality": _q_quality,
@@ -1135,6 +1163,26 @@ def _training_v2_sql() -> str:
         FROM sampled GROUP BY lang"""
 
 
+def _host_re_sql() -> str:
+    from pero_ocr_ray.functions.domains import HOST_RE_STR
+    return HOST_RE_STR.replace("'", "''")
+
+
+_HOST_RE_SQL = (lambda: _host_re_sql())()
+
+
+def _domain_counts_sql() -> str:
+    """Pages per host with the identical host-extraction regex."""
+    return f"""
+        WITH h AS (SELECT COALESCE(regexp_extract(
+                       'https://site' || CAST(doc_id % 97 AS VARCHAR)
+                           || '.example/d/' || CAST(doc_id AS VARCHAR),
+                       '{_host_re_sql()}', 1), '') AS host
+                   FROM documents)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_pages
+        FROM h GROUP BY host"""
+
+
 def _subword_sql() -> str:
     """BPE-ish subword counts: the exact kernel regex (RE2/Python-re
     compatible by construction) evaluated by DuckDB."""
@@ -1344,6 +1392,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
             FROM documents""",
         "doc_subword_counts": _subword_sql(),
+        "domain_counts": _domain_counts_sql(),
+        "domain_cap": rf"""
+            WITH u AS (SELECT doc_id, lang,
+                              'https://site' || CAST(doc_id % 97 AS VARCHAR)
+                                  || '.example/d/'
+                                  || CAST(doc_id AS VARCHAR) AS url
+                       FROM documents),
+            r AS (SELECT doc_id, url, lang,
+                         row_number() OVER (
+                             PARTITION BY regexp_extract(url,
+                                 '{_HOST_RE_SQL}', 1)
+                             ORDER BY doc_id) AS rn
+                  FROM u)
+            SELECT doc_id, url, lang FROM r WHERE rn <= 3""",
         "top_tokens": """
             WITH t AS (SELECT unnest(regexp_extract_all(lower(text),
                                                         '[a-z0-9]+')) AS token

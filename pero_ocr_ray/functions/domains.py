@@ -1,0 +1,73 @@
+"""Domain-level operators for web-corpus curation.
+
+Real curation pipelines cap and count per registrable host (domain
+diversity caps a la CCNet/Gopher: no single site may dominate the
+training mix). Host extraction is a shared regex evaluated identically by
+Python and the DuckDB oracle (no urllib — its parsing nuances aren't
+SQL-reproducible).
+
+Shapes:
+* :func:`domain_counts` — per-batch partial counts + one tiny groupby
+  (the combiner pattern; the shuffle moves per-host partials).
+* :func:`cap_per_domain` — ONE host-keyed shuffle; each group keeps its
+  ``cap`` smallest doc_ids (deterministic; SQL row_number mirror). A
+  pathologically hot host is bounded by the cap itself: the group
+  function sorts at most the group's rows and emits at most ``cap``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+# shared verbatim with the SQL oracle (RE2/Python-compatible: no lookahead)
+HOST_RE_STR = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_HOST_RE = re.compile(HOST_RE_STR)
+
+
+def host_of(url: str) -> str:
+    """Host part of a url ('' when not parseable)."""
+    m = _HOST_RE.match(url or "")
+    return m.group(1) if m else ""
+
+
+def domain_counts(ds: rd.Dataset, url_col: str = "url") -> rd.Dataset:
+    """-> (host, n_pages) pages per host."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hosts = df[url_col].str.extract(HOST_RE_STR, expand=False).fillna("")
+        g = (pd.DataFrame({"host": hosts})
+             .groupby("host", as_index=False).size()
+             .rename(columns={"size": "n_partial"}))
+        return g
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("host").aggregate(Sum("n_partial", alias_name="n_pages")))
+    return agg.map_batches(
+        lambda df: df.assign(n_pages=df["n_pages"].astype("int64")),
+        batch_format="pandas")
+
+
+def cap_per_domain(ds: rd.Dataset, cap: int, url_col: str = "url",
+                   id_col: str = "doc_id") -> rd.Dataset:
+    """Keep at most ``cap`` rows per host — the smallest ``id_col`` values
+    win (deterministic; the SQL mirror is row_number() over
+    (partition by host order by id) <= cap)."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+
+    def add_host(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__host"] = (df[url_col].str.extract(HOST_RE_STR, expand=False)
+                        .fillna(""))
+        return df
+
+    def keep(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.sort_values(id_col).head(cap)
+                .drop(columns=["__host"]))
+
+    return (ds.map_batches(add_host, batch_format="pandas")
+              .groupby("__host").map_groups(keep, batch_format="pandas"))

@@ -681,3 +681,25 @@ def test_curate_full_drops_near_dup_cluster_members():
     assert sorted(out["doc_id"]) == [0, 3]
     assert {"n_tokens", "n_subwords", "lang"} <= set(out.columns)
     assert (out["n_tokens"] == 30).all()
+
+
+def test_domain_counts_and_cap():
+    import pyarrow as pa
+    from pero_ocr_ray.functions.domains import (
+        cap_per_domain, domain_counts, host_of,
+    )
+    assert host_of("https://a.example/x/y?q=1") == "a.example"
+    assert host_of("not a url") == ""
+    urls = [f"https://site{i % 3}.example/d/{i}" for i in range(30)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(30)), pa.int64()),
+        "url": pa.array(urls, pa.string()),
+    })).repartition(4)
+    counts = dataset_to_table(domain_counts(ds)).to_pandas()
+    assert sorted(counts["n_pages"]) == [10, 10, 10]
+    capped = dataset_to_table(cap_per_domain(ds, cap=2)).to_pandas()
+    assert len(capped) == 6
+    # smallest doc_ids per host win
+    assert sorted(capped["doc_id"]) == [0, 1, 2, 3, 4, 5]
+    with pytest.raises(ValueError):
+        cap_per_domain(ds, cap=0)
