@@ -322,13 +322,17 @@ def _q_asof_bucketed(sf_dir: str):
                                 right_cols=["value"], bucket_freq="D")
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
         return pd.DataFrame({
             "event_id": df["event_id"].astype("int64"),
             "user_id": df["user_id"].astype("int64"),
             "ts": pd.to_datetime(df["ts"]).astype("datetime64[us]"),
             "view_ts": pd.to_datetime(df["ts_right"]).astype("datetime64[us]"),
-            "view_value_cents": (pd.to_numeric(df["value_right"]) * 100
-                                 ).round().astype("int64"),
+            # floor(x*100 + 0.5): DuckDB ROUND is half-away-from-zero,
+            # pandas .round() is banker's — a value landing exactly on a
+            # half-cent (e.g. 0.125) would silently split the hash gate
+            "view_value_cents": np.floor(
+                pd.to_numeric(df["value_right"]) * 100 + 0.5).astype("int64"),
         })
 
     return joined.map_batches(project, batch_format="pandas")
@@ -370,8 +374,11 @@ def _q_embedding_near_dup(sf_dir: str):
     import numpy as np
     import pyarrow as pa
     from pero_ocr_ray.functions.similarity import embedding_near_dup_pairs
+    import pyarrow.compute as pc
     tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    head = tbl.slice(0, 10)
+    # filter by id VALUE (the oracle's WHERE vec_id < 10), never by file
+    # position — parquet row order is not part of the contract
+    head = tbl.filter(pc.less(tbl.column("vec_id"), 10))
     dup_ids = pa.array((head.column("vec_id").to_numpy() + 1_000_000), pa.int64())
     dups = head.set_column(head.column_names.index("vec_id"), "vec_id", dup_ids)
     both = pa.concat_tables([tbl, dups])
@@ -517,13 +524,17 @@ def _q_asof_purchase_view(sf_dir: str):
                        right_cols=["value"])
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
         return pd.DataFrame({
             "event_id": df["event_id"].astype("int64"),
             "user_id": df["user_id"].astype("int64"),
             "ts": pd.to_datetime(df["ts"]).astype("datetime64[us]"),
             "view_ts": pd.to_datetime(df["ts_right"]).astype("datetime64[us]"),
-            "view_value_cents": (pd.to_numeric(df["value_right"]) * 100
-                                 ).round().astype("int64"),
+            # floor(x*100 + 0.5): DuckDB ROUND is half-away-from-zero,
+            # pandas .round() is banker's — a value landing exactly on a
+            # half-cent (e.g. 0.125) would silently split the hash gate
+            "view_value_cents": np.floor(
+                pd.to_numeric(df["value_right"]) * 100 + 0.5).astype("int64"),
         })
 
     return joined.map_batches(project, batch_format="pandas")
@@ -539,17 +550,24 @@ def _q_warc_extract(sf_dir: str):
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     recs = []
     import html as html_mod
-    for did, text in zip(docs.column("doc_id").to_pylist()[:200],
-                         docs.column("text").to_pylist()[:200]):
+    import pyarrow.compute as _pc
+    first200 = docs.filter(_pc.less(docs.column("doc_id"), 200))
+    for did, text in zip(first200.column("doc_id").to_pylist(),
+                         first200.column("text").to_pylist()):
         body = (f"<html><body><article><p>{html_mod.escape(text)}</p>"
                 f"</article></body></html>").encode()
         recs.append((f"https://warc.example/d/{did}",
                      "2026-01-01T00:00:00Z", body))
-    digest = hashlib.md5(repr((sf_dir, len(recs))).encode()).hexdigest()[:8]
+    h = hashlib.md5()
+    for url, ts, body in recs:  # content-keyed: regenerated testdata with
+        h.update(url.encode()); h.update(body)  # the same row count must
+    digest = h.hexdigest()[:12]                 # not reuse a stale cache
     path = f"/tmp/pero_warc_{digest}.warc.gz"
     if not os.path.exists(path):
-        with open(path, "wb") as fh:
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as fh:
             fh.write(make_warc(recs, compress=True))
+        os.replace(tmp, path)  # atomic: concurrent runs never see partials
     from pero_ocr_ray.sources.warc import read_warc
     return (extract_pipeline(read_warc(path), concurrency=_query_pool())
             .select_columns(["url", "extracted_text"]))
@@ -952,6 +970,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _URL_SQL = "'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR)"
+# NOTE: the extraction kernel canonicalizes UNICODE whitespace (the right
+# semantics for web text: &nbsp; collapses like a space) while RE2's \s is
+# ASCII. The extraction oracles below are therefore exact only while
+# documents.text carries no non-ASCII whitespace — true for the driver's
+# synthetic corpus by construction. Token/stopword oracles are exact
+# unconditionally (kernels pinned to ASCII classes, kernels/textstats.py).
 _CANON_SQL = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
 _STOPWORD_SQL = r"\b(?:the|and|of|a|to|in|is|for|on|with)\b"
 
@@ -1014,7 +1038,7 @@ def _fingerprint_sql() -> str:
                         for k in range(64))
     return f"""
         WITH pw(k, p) AS (VALUES {pw_rows}),
-        t AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs
+        t AS (SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs
               FROM documents),
         c AS (SELECT doc_id, unnest(cs) AS ch,
                      generate_subscripts(cs, 1) AS i, len(cs) AS n FROM t),
@@ -1168,7 +1192,7 @@ def _host_re_sql() -> str:
     return HOST_RE_STR.replace("'", "''")
 
 
-_HOST_RE_SQL = (lambda: _host_re_sql())()
+_HOST_RE_SQL = _host_re_sql()
 
 
 def _domain_counts_sql() -> str:
@@ -1177,7 +1201,7 @@ def _domain_counts_sql() -> str:
         WITH h AS (SELECT COALESCE(regexp_extract(
                        'https://site' || CAST(doc_id % 97 AS VARCHAR)
                            || '.example/d/' || CAST(doc_id AS VARCHAR),
-                       '{_host_re_sql()}', 1), '') AS host
+                       '{_HOST_RE_SQL}', 1), '') AS host
                    FROM documents)
         SELECT host, CAST(count(*) AS BIGINT) AS n_pages
         FROM h GROUP BY host"""
@@ -1352,26 +1376,7 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
         FROM pairs WHERE hamming <= {max_hamming}"""
 
 
-_SIMHASH_SQL = r"""
-    WITH toks AS (
-        SELECT doc_id,
-               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-        FROM documents),
-    wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
-    h AS (SELECT doc_id, c,
-                 ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM wc),
-    b AS (SELECT doc_id, bit,
-                 SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN c ELSE -c END) AS acc
-          FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) bits
-          GROUP BY doc_id, bit),
-    s AS (SELECT doc_id,
-                 SUM(CASE WHEN acc > 0 THEN
-                       CASE WHEN bit = 63 THEN -9223372036854775807 - 1
-                            ELSE (1::BIGINT << bit) END
-                     ELSE 0 END) AS simhash
-          FROM b GROUP BY doc_id)
-    SELECT d.doc_id, COALESCE(CAST(s.simhash AS BIGINT), 0) AS simhash
-    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"""
+_SIMHASH_SQL = _simhash_base_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1430,9 +1435,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _lang_id_sql(),
         "training_corpus_stats": r"""
             WITH surv AS (
-                SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
-                       text
-                FROM (SELECT doc_id, lang, text FROM documents)
+                SELECT min(doc_id) AS doc_id, text
+                FROM documents
                 GROUP BY text
                 ),
             surv2 AS (

@@ -143,10 +143,17 @@ def run_scaling(cl: int | None = None, ch: int | None = None) -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    BENCH_SKIP_QUERIES="1")
-        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                             env=env, capture_output=True, text=True,
-                             check=True, cwd=REPO).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                              env=env, capture_output=True, text=True,
+                              cwd=REPO)
+        if proc.returncode != 0:
+            # surface the failed leg's actual traceback — a bare
+            # CalledProcessError swallows the Ray error that matters
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling leg at num_cpus={ncpu} failed "
+                f"(exit {proc.returncode}); stderr above")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # The sandbox shares hardware: hypervisor steal is bursty, so a leg can
     # land in a contended window and skew the ratio. Attempt up to twice and

@@ -13,14 +13,20 @@ import re
 
 import numpy as np
 
-TOKEN_RE = re.compile(r"\S+")
+# Tokens = maximal runs of non-ASCII-whitespace. The explicit class (not
+# \S) pins Python to the ASCII semantics DuckDB's RE2 always uses for \S —
+# Python's Unicode \S would additionally break on U+00A0 etc., silently
+# desynchronizing every token-count oracle on non-ASCII corpora.
+TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
 WORD_RE = re.compile(r"[a-z]+")          # language-ID tokens (letters)
 SHINGLE_RE = re.compile(r"[a-z0-9]+")    # shingle/simhash tokens (alnum)
 PUNCT_RE = re.compile(r"[.,!?;:]")
 
-# Same regex string is used verbatim in the DuckDB oracle SQL.
+# Same regex string is used verbatim in the DuckDB oracle SQL; re.ASCII
+# pins Python's \b to RE2's ASCII word-boundary semantics (RE2 has no
+# Unicode \b), so 'Müthe' counts identically in both engines.
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "for", "on", "with")
-STOPWORD_RE = re.compile(r"\b(?:%s)\b" % "|".join(STOPWORDS))
+STOPWORD_RE = re.compile(r"\b(?:%s)\b" % "|".join(STOPWORDS), re.ASCII)
 
 # tiny deterministic stopword profiles for the language-ID heuristic
 LANG_PROFILES = {

@@ -259,7 +259,11 @@ def pages_from_documents(documents: pa.Table, template: str = "simple") -> pa.Ta
                    f"</article></body></html>")
             htmls.append(doc.encode())
         elif template == "chunks":
-            toks = text.split()
+            # TOKEN_RE, not str.split(): Python splits on Unicode
+            # whitespace while the SQL oracle's \S+ is ASCII — the shared
+            # regex keeps both sides identical on non-ASCII corpora
+            from pero_ocr_ray.kernels.textstats import TOKEN_RE
+            toks = TOKEN_RE.findall(text)
             paras = [" ".join(toks[j:j + 10]) for j in range(0, len(toks), 10)]
             body = "".join(f"<p>{html_mod.escape(p)}</p>" for p in paras)
             doc = f"<html><body><article>{body}</article></body></html>"

@@ -65,6 +65,11 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     failures = 0
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently checking nothing would read as a pass
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        failures += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
