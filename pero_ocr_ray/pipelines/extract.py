@@ -43,7 +43,7 @@ def _auto_concurrency() -> int:
     pools at cpus*5/8+ collapse throughput 3-4x by starving the
     read/decompress/write tasks that now bound the wall."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, (cpus * 3) // 8)
+    return max(1, (cpus * 3 + 4) // 8)  # rounded 3/8: 4->2, 8->3, 32->12
 
 
 def read_pages(source, columns: list[str] | None = None) -> rd.Dataset:
