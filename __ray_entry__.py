@@ -211,6 +211,36 @@ def _q_domain_cap(sf_dir: str):
             .select_columns(["doc_id", "url", "lang"]))
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII redaction over documents with synthetic PII appended to every
+    5th doc (emails/phones/IPs); the oracle replays the identical
+    regexp_replace chain in the same category order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pero_ocr_ray.functions.pii import redact_pii
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    did = tbl.column("doc_id")
+    inject = pc.binary_join_element_wise(
+        pa.scalar(" contact user"), pc.cast(did, pa.string()),
+        pa.scalar("@example.com or call +1 (555) 123-4567 from 10.0.0.1"),
+        pa.scalar(""))
+    did_np = did.to_numpy()
+    newtext = pc.if_else(
+        pa.array(did_np % 5 == 0),
+        pc.binary_join_element_wise(tbl.column("text"), inject, pa.scalar("")),
+        tbl.column("text"))
+    tbl = tbl.set_column(tbl.column_names.index("text"), "text", newtext)
+    return redact_pii(rd.from_arrow(tbl))
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals (duplicate-word and top-bigram
+    fractions, exact integer fixed-point)."""
+    from pero_ocr_ray.functions.pii import repetition_stats
+    return repetition_stats(_docs(sf_dir))
+
+
 def _q_subword_counts(sf_dir: str):
     from pero_ocr_ray.functions.textstats import subword_token_counts
     return subword_token_counts(_docs(sf_dir))
@@ -914,6 +944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_best": _q_merge_best,
         "doc_token_counts": _q_token_counts,
         "doc_subword_counts": _q_subword_counts,
+        "redact_pii": _q_redact_pii,
+        "repetition_stats": _q_repetition_stats,
         "domain_counts": _q_domain_counts,
         "domain_cap": _q_domain_cap,
         "top_tokens": _q_top_tokens,
@@ -1207,6 +1239,66 @@ def _domain_counts_sql() -> str:
         FROM h GROUP BY host"""
 
 
+def _pii_sql() -> str:
+    """PII-redaction oracle: the identical injected text, then the same
+    regexp_replace chain in PII_PATTERNS order (count before replace per
+    category, exactly re.subn's semantics)."""
+    from pero_ocr_ray.functions.pii import PII_PATTERNS
+    pats = {name: pat.replace("'", "''") for name, pat in PII_PATTERNS}
+    return f"""
+        WITH d2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN text || ' contact user'
+                             || CAST(doc_id AS VARCHAR)
+                             || '@example.com or call +1 (555) 123-4567'
+                             || ' from 10.0.0.1'
+                        ELSE text END AS text
+            FROM documents),
+        r1 AS (SELECT doc_id,
+                      regexp_replace(text, '{pats["email"]}', '<email>',
+                                     'g') AS text,
+                      CAST(length(regexp_extract_all(text,
+                           '{pats["email"]}')) AS BIGINT) AS n_emails
+               FROM d2),
+        r2 AS (SELECT doc_id,
+                      regexp_replace(text, '{pats["phone"]}', '<phone>',
+                                     'g') AS text, n_emails,
+                      CAST(length(regexp_extract_all(text,
+                           '{pats["phone"]}')) AS BIGINT) AS n_phones
+               FROM r1)
+        SELECT doc_id,
+               regexp_replace(text, '{pats["ip"]}', '<ip>', 'g') AS text,
+               n_emails, n_phones,
+               CAST(length(regexp_extract_all(text, '{pats["ip"]}'))
+                    AS BIGINT) AS n_ips
+        FROM r2"""
+
+
+_REPETITION_SQL = r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    base AS (SELECT doc_id, len(toks) AS n,
+                    length(list_distinct(toks)) AS d FROM t),
+    tok AS (SELECT doc_id, unnest(toks) AS w,
+                   generate_subscripts(toks, 1) AS i FROM t),
+    bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg
+           FROM tok a JOIN tok b
+             ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+    bgc AS (SELECT doc_id, MAX(c) AS mx FROM (
+                SELECT doc_id, bg, count(*) AS c FROM bg
+                GROUP BY doc_id, bg) GROUP BY doc_id)
+    SELECT base.doc_id,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE (n - d) * 1000000 // n END AS BIGINT)
+               AS dup_word_frac_e6,
+           CAST(CASE WHEN n < 2 THEN 0
+                     ELSE COALESCE(bgc.mx, 0) * 1000000 // (n - 1) END
+                AS BIGINT) AS top_bigram_frac_e6
+    FROM base LEFT JOIN bgc ON bgc.doc_id = base.doc_id"""
+
+
 def _subword_sql() -> str:
     """BPE-ish subword counts: the exact kernel regex (RE2/Python-re
     compatible by construction) evaluated by DuckDB."""
@@ -1397,6 +1489,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
             FROM documents""",
         "doc_subword_counts": _subword_sql(),
+        "redact_pii": _pii_sql(),
+        "repetition_stats": _REPETITION_SQL,
         "domain_counts": _domain_counts_sql(),
         "domain_cap": rf"""
             WITH u AS (SELECT doc_id, lang,

@@ -703,3 +703,32 @@ def test_domain_counts_and_cap():
     assert sorted(capped["doc_id"]) == [0, 1, 2, 3, 4, 5]
     with pytest.raises(ValueError):
         cap_per_domain(ds, cap=0)
+
+
+def test_redact_pii_and_repetition():
+    import pyarrow as pa
+    from pero_ocr_ray.functions.pii import (
+        redact_pii, redact_text, repetition_signals, repetition_stats,
+    )
+    red, counts = redact_text(
+        "mail bob.smith+x@ex.co.uk or call +1 (555) 123-4567 ip 10.0.0.1")
+    assert red == "mail <email> or call <phone> ip <ip>"
+    assert counts == {"email": 1, "phone": 1, "ip": 1}
+    # email consumed before the phone pass can half-match its digits
+    red2, c2 = redact_text("a1234567@b.co")
+    assert red2 == "<email>" and c2["phone"] == 0
+    assert repetition_signals("") == (0, 0)
+    assert repetition_signals("a b c d") == (0, 333333)  # 1 of 3 bigrams
+    d, b = repetition_signals("spam spam spam spam")
+    assert d == 750000 and b == 1000000  # 1 distinct of 4; one bigram
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["x@y.zz and x@y.zz", "clean words only here"],
+                         pa.string()),
+    }))
+    out = dataset_to_table(redact_pii(ds)).to_pandas().sort_values("doc_id")
+    assert out["n_emails"].tolist() == [2, 0]
+    assert out["text"].iloc[0] == "<email> and <email>"
+    rep = dataset_to_table(repetition_stats(ds)).to_pandas()
+    assert set(rep.columns) == {"doc_id", "dup_word_frac_e6",
+                                "top_bigram_frac_e6"}
