@@ -2,7 +2,8 @@
 
 Shapes (all hash-partitioned on content keys, no driver-side row loops):
 
-* exact: md5 content hash -> groupby(hash) -> keep min doc_id per group;
+* exact: md5 content hash -> per-batch (hash, min id, count) combiner ->
+  groupby(hash).aggregate(Min, Sum); survivor rows via winner-id semi-join;
 * MinHash-LSH near-dup: signature per doc (actor pool) -> explode to
   (band_key, doc_id, signature) -> groupby(band_key) -> candidate pairs with
   signature-estimated Jaccard -> pair dedup -> drop the larger id of each
@@ -32,33 +33,57 @@ from pero_ocr_ray.functions.textstats import content_hashes
 
 def exact_dedup_groups(ds: rd.Dataset) -> rd.Dataset:
     """-> (doc_id, content_hash, n_copies): survivor (min doc_id) per
-    distinct text + group size. Matches SQL GROUP BY text."""
+    distinct text + group size. Matches SQL GROUP BY text.
+
+    Combiner shape (hot-group-safe): min/count are algebraic, so each batch
+    emits one (content_hash, min doc_id, count) partial via a zero-copy
+    Arrow group_by and the shuffle merges PARTIALS with
+    ``groupby().aggregate(Min, Sum)`` — a text duplicated a million times
+    (empty page, parked domain, cookie wall) moves one row per source
+    block through the shuffle instead of materializing every copy in a
+    single worker's group (the Common-Crawl killer the earlier
+    ``map_groups(pick)`` form had)."""
+    from ray.data.aggregate import Min, Sum
+
     hashed = content_hashes(ds)
 
-    def pick(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": [int(group["doc_id"].min())],
-            "content_hash": [group["content_hash"].iloc[0]],
-            "n_copies": [len(group)],
-        })
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["content_hash", "doc_id"])
+             .group_by("content_hash")
+             .aggregate([("doc_id", "min"), ("doc_id", "count")]))
+        return pa.table({"content_hash": g.column("content_hash"),
+                         "doc_id_partial": g.column("doc_id_min"),
+                         "n_partial": g.column("doc_id_count")})
 
-    return hashed.groupby("content_hash").map_groups(pick, batch_format="pandas")
+    agg = (hashed.map_batches(partial, batch_format="pyarrow")
+           .groupby("content_hash")
+           .aggregate(Min("doc_id_partial", alias_name="doc_id"),
+                      Sum("n_partial", alias_name="n_copies")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "doc_id": pa.compute.cast(t.column("doc_id"), pa.int64()),
+            "content_hash": t.column("content_hash"),
+            "n_copies": pa.compute.cast(t.column("n_copies"), pa.int64()),
+        }),
+        batch_format="pyarrow")
 
 
 def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
-    """Full survivor rows (the dedup'd corpus)."""
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-        df = df.copy()
-        df["content_hash"] = [hashlib.md5(t.encode("utf-8")).hexdigest()
-                              for t in df["text"]]
-        return df
+    """Full survivor rows (the dedup'd corpus).
 
-    def pick(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("doc_id").head(1).drop(columns=["content_hash"])
+    Semi-join shape (hot-group-safe): winner doc_ids come from the
+    combiner-form :func:`exact_dedup_groups`; the survivor ROWS are then a
+    hash semi-join of those ids against the streamed corpus — no group
+    ever holds more than one row per distinct text, regardless of how many
+    copies the corpus carries."""
+    from pero_ocr_ray.functions.join import hash_join
 
-    return (ds.map_batches(add_hash, batch_format="pandas")
-              .groupby("content_hash").map_groups(pick, batch_format="pandas"))
+    # .repartition(8) consolidates stray empty blocks before the native
+    # join (CLAUDE.md: Dataset.join rejects null-schema blocks); winners is
+    # one row per DISTINCT text, far smaller than the corpus.
+    winners = (exact_dedup_groups(ds).select_columns(["doc_id"])
+               .repartition(8))
+    return hash_join(ds, winners, on="doc_id")
 
 
 # -- MinHash-LSH -----------------------------------------------------------

@@ -179,12 +179,23 @@ def _bucket_of(m: np.ndarray) -> np.ndarray:
     return (bits @ (1 << np.arange(_N_PLANES))).astype(np.int64)
 
 
+MAX_BUCKET = 512  # hot-bucket guard: the in-bucket verify is quadratic
+
+
 def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
                              ) -> rd.Dataset:
     """Embedding-cosine near-dup: bucket by random-hyperplane signature
     (one shuffle), exact cosine verify within each bucket. Near-identical
     vectors collide with high probability; recall is tunable via _N_PLANES
-    (fewer planes = bigger buckets = higher recall, more compute)."""
+    (fewer planes = bigger buckets = higher recall, more compute).
+
+    Hot-bucket guard: the verify does an m@m.T inside each bucket, so a
+    degenerate bucket (zero/constant embeddings all hashing identically)
+    goes quadratic in memory AND compute. Buckets beyond ``MAX_BUCKET``
+    rows are truncated to the MAX_BUCKET smallest vec_ids (deterministic —
+    same pattern as ``dedup.MAX_BUCKET``); truncation is logged per the
+    no-silent-caps rule. The survivors of a that-hot bucket are mutual
+    near-dups, so downstream drop/cluster decisions still link them."""
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(_as_matrix(df["embedding"].tolist()))
         return pd.DataFrame({
@@ -198,6 +209,13 @@ def embedding_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
         if len(g) < 2:
             return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                                  "vec_b": pd.Series([], dtype="int64")})
+        if len(g) > MAX_BUCKET:
+            import logging
+            logging.getLogger(__name__).warning(
+                "embedding_near_dup bucket %s truncated %d -> %d rows "
+                "(MAX_BUCKET hot-bucket cap; keeping smallest vec_ids)",
+                g["bucket"].iloc[0], len(g), MAX_BUCKET)
+            g = g.head(MAX_BUCKET)
         m = _normalize(_as_matrix(g["embedding"].tolist()))
         ids = g["vec_id"].to_numpy()
         sims = m @ m.T

@@ -107,6 +107,19 @@ def _to_alto_aligned(ds, cfg: ExtractConfig,
         batch_format="pyarrow", batch_size=cfg.vector_batch_size)
 
 
+@register_stage("beam_decode")
+def _beam_decode(ds, cfg: ExtractConfig, concurrency: int = 2,
+                 batch_size: int = 32, **params):
+    """LM-carryover beam decoding as a spec stage (A5). ``lm_factory``
+    may be a ``"module:attr"`` string naming a user LM factory — the
+    decoding_itf.py:107-136 construction-path analog; see
+    stages/beamdecode.py for the LM protocol."""
+    from pero_ocr_ray.stages.beamdecode import BeamDecodeStage
+    return ds.map_batches(BeamDecodeStage, fn_constructor_kwargs=params,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
 @register_stage("checkpoint")
 def _checkpoint(ds, cfg: ExtractConfig, path: str = "", **_):
     """Write the current intermediate table to parquet and continue from the

@@ -8,7 +8,19 @@ property that lets this run as a plain actor-pool ``map_batches`` stage.
 
 The LM (a deterministic bigram over the corpus vocabulary) is built once
 per actor in ``__init__`` — the models-loaded-once engine shape
-(page_parser.py:457-483)."""
+(page_parser.py:457-483).
+
+LM seam: the reference constructs a user-trained LM from a config path and
+hands it to the decoder behind a fixed hidden-state protocol
+(/root/reference/pero_ocr/decoding/decoding_itf.py:107-136 building
+/root/reference/pero_ocr/decoding/lm_wrapper.py:57-127). The analog here is
+``lm_factory``: any callable (or ``"module:attr"`` dotted path, for
+JSON/INI pipeline specs) returning an object with the four-method protocol
+``initial_state() -> h``, ``advance(h, sym) -> h'``, ``log_probs(h) ->
+ndarray[n_chars]``, ``eos_score(h) -> float`` (see
+:class:`pero_ocr_ray.kernels.beam.BigramCharLM`, the default). The factory
+runs once per actor, so an expensive LM load costs one call per pool
+member, not per batch."""
 
 from __future__ import annotations
 
@@ -37,15 +49,46 @@ def split_lines(text: str, words_per_line: int = 8) -> list[str]:
             for i in range(0, len(words), words_per_line)] or [""]
 
 
+def default_lm_factory(chars: str):
+    """Default LM: add-one bigram over the engine's seed corpus."""
+    return BigramCharLM(chars, _SEED_CORPUS)
+
+
+def resolve_lm_factory(spec):
+    """``None`` -> default; callable -> itself; ``"module:attr"`` (or
+    ``"module.attr"``) -> imported attribute. String form exists so
+    config-file pipeline specs (JSON/INI, the CLI path) can name a
+    user LM factory without holding a Python object."""
+    if spec is None:
+        return default_lm_factory
+    if callable(spec):
+        return spec
+    if isinstance(spec, str):
+        import importlib
+        mod, _, attr = (spec.partition(":") if ":" in spec
+                        else spec.rpartition("."))
+        fn = getattr(importlib.import_module(mod), attr)
+        if not callable(fn):
+            raise TypeError(f"lm_factory {spec!r} resolved to non-callable")
+        return fn
+    raise TypeError(f"lm_factory must be None, callable or 'module:attr' "
+                    f"string, got {type(spec).__name__}")
+
+
 class BeamDecodeStage:
     """Actor pool: (doc_id, text) -> (doc_id, decoded_text, confidence,
     n_lines). The lattice is synthesized deterministically from the text
-    (hash-derived confusions); the beam+LM must undo the confusions."""
+    (hash-derived confusions); the beam+LM must undo the confusions.
+
+    ``lm_factory`` is the user-LM injection seam (module docstring); it is
+    called once here with the decode alphabet and must return an object
+    implementing the BigramCharLM protocol."""
 
     def __init__(self, k: int = 4, lm_scale: float = 0.8,
-                 noise: float = 0.35, chars: str = DECODE_CHARS):
+                 noise: float = 0.35, chars: str = DECODE_CHARS,
+                 lm_factory=None):
         self.letters = list(chars) + [BLANK]
-        self.lm = BigramCharLM(chars, _SEED_CORPUS)
+        self.lm = resolve_lm_factory(lm_factory)(chars)
         self.k = k
         self.lm_scale = lm_scale
         self.noise = noise

@@ -276,3 +276,73 @@ def test_beam_decode_stage_end_to_end():
     out2 = dataset_to_table(beam_decode(rd.from_items(rows), concurrency=1)
                             ).to_pandas().sort_values("doc_id")
     assert list(out["decoded_text"]) == list(out2["decoded_text"])
+
+
+def test_lm_seam_custom_factory_via_registry_spec():
+    """The LM injection seam (decoding_itf.py:107-136 analog): a toy LM
+    obeying the BigramCharLM four-method protocol, handed through a
+    registry pipeline spec, changes decoding; the default stays bigram.
+    The factory is a closure, so Ray cloudpickles it by value into the
+    actor pool — the same path a user module object takes."""
+    import ray.data as rd
+    from pero_ocr_ray.pipelines.registry import build_from_spec
+    from pero_ocr_ray.stages.beamdecode import DECODE_CHARS
+    from pero_ocr_ray.util import dataset_to_table
+
+    class VowelLM:
+        """Strongly prefers vowels — a deliberately wrong LM whose output
+        must therefore differ from the default bigram on noisy lattices."""
+        def __init__(self, chars):
+            self.boost = np.array(
+                [8.0 if c in "aeiou" else -8.0 for c in chars])
+
+        def initial_state(self):
+            return 0
+
+        def advance(self, h, sym):
+            return 0
+
+        def log_probs(self, h):
+            return self.boost
+
+        def eos_score(self, h):
+            return 0.0
+
+    def toy_factory(chars):  # closure -> pickled by value
+        return VowelLM(chars)
+
+    rows = [{"doc_id": i,
+             "text": "merge sort table scan index key value row " * 2}
+            for i in range(4)]
+    spec_custom = [{"stage": "beam_decode", "concurrency": 1,
+                    "lm_factory": toy_factory, "noise": 0.45,
+                    "lm_scale": 2.0}]
+    spec_default = [{"stage": "beam_decode", "concurrency": 1,
+                     "noise": 0.45, "lm_scale": 2.0}]
+    got_custom = dataset_to_table(
+        build_from_spec(rd.from_items(rows), spec_custom)
+    ).to_pandas().sort_values("doc_id")
+    got_default = dataset_to_table(
+        build_from_spec(rd.from_items(rows), spec_default)
+    ).to_pandas().sort_values("doc_id")
+    assert len(got_custom) == len(got_default) == 4
+    assert (list(got_custom["decoded_text"])
+            != list(got_default["decoded_text"]))
+
+
+def test_lm_seam_string_path_and_errors():
+    from pero_ocr_ray.kernels.beam import BigramCharLM
+    from pero_ocr_ray.stages.beamdecode import (
+        DECODE_CHARS, resolve_lm_factory,
+    )
+    fac = resolve_lm_factory(
+        "pero_ocr_ray.stages.beamdecode:default_lm_factory")
+    assert isinstance(fac(DECODE_CHARS), BigramCharLM)
+    # dotted form without colon resolves too
+    fac2 = resolve_lm_factory(
+        "pero_ocr_ray.stages.beamdecode.default_lm_factory")
+    assert fac2 is fac
+    with pytest.raises(TypeError):
+        resolve_lm_factory(42)
+    with pytest.raises(TypeError, match="non-callable"):
+        resolve_lm_factory("pero_ocr_ray.stages.beamdecode:DECODE_CHARS")

@@ -3,6 +3,7 @@ windows, relational) and the alignment kernels."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray.data as rd
@@ -115,6 +116,35 @@ def test_exact_dedup_survivors():
     from pero_ocr_ray.functions.dedup import exact_dedup
     out = dataset_to_table(exact_dedup(_docs_with_dups())).to_pandas()
     assert sorted(out["doc_id"]) == sorted(set(range(20)) | {200})
+
+
+def test_exact_dedup_hot_group_combiner():
+    """A million-copy hot text (parked-domain shape) must flow through the
+    combiner as per-block partials, never materialize as one group. Runs at
+    bounded memory because exact_dedup_groups aggregates (hash, min, count)
+    partials; the old map_groups form would pull 10^6 rows into one pandas
+    frame."""
+    from pero_ocr_ray.functions.dedup import exact_dedup, exact_dedup_groups
+
+    n = 1_000_000
+
+    def mk(t: "pa.Table") -> "pa.Table":
+        ids = t.column("id")
+        texts = [f"unique {i}" if i < 5 else "hot parked-domain page"
+                 for i in ids.to_pylist()]
+        return pa.table({"doc_id": pa.compute.cast(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = rd.range(n).map_batches(mk, batch_format="pyarrow")
+    out = dataset_to_table(exact_dedup_groups(docs)).to_pandas()
+    assert len(out) == 6
+    hot = out[out["n_copies"] == n - 5]
+    assert len(hot) == 1 and hot["doc_id"].iloc[0] == 5
+    assert set(out[out["n_copies"] == 1]["doc_id"]) == set(range(5))
+
+    surv = dataset_to_table(
+        exact_dedup(docs).select_columns(["doc_id"])).to_pandas()
+    assert sorted(surv["doc_id"]) == [0, 1, 2, 3, 4, 5]
 
 
 def test_minhash_near_dup():
@@ -234,6 +264,21 @@ def test_embedding_near_dup_finds_planted():
     out = dataset_to_table(embedding_near_dup_pairs(rd.from_items(rows), 0.98)
                            ).to_pandas()
     assert (7, 500) in set(zip(out["vec_a"], out["vec_b"]))
+
+
+def test_embedding_near_dup_hot_bucket_capped():
+    """A pathological corpus of identical vectors lands in ONE LSH bucket;
+    the MAX_BUCKET cap must bound the quadratic verify deterministically
+    (smallest vec_ids survive) instead of doing a 5000x5000 matmul."""
+    from pero_ocr_ray.functions import similarity as S
+
+    rows = [{"vec_id": i, "embedding": [1.0, 2.0, 3.0, 4.0]}
+            for i in range(5000)]
+    out = dataset_to_table(
+        S.embedding_near_dup_pairs(rd.from_items(rows), 0.99)).to_pandas()
+    cap = S.MAX_BUCKET
+    assert len(out) == cap * (cap - 1) // 2
+    assert int(out["vec_b"].max()) == cap - 1  # smallest ids kept
 
 
 # ---- windows --------------------------------------------------------------
