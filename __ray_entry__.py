@@ -87,17 +87,29 @@ def _q_extract_simple_metrics(sf_dir: str):
 
 
 def _q_extract_cases(sf_dir: str):
+    """Full case-catalog extraction, golden-fixture-oracled: the oracle is
+    a sequential single-process replay through the SAME kernels
+    (tools/make_cases_fixture.py -> tests/golden/cases_oracle.parquet,
+    keyed by corpus_len), the reference's golden-output E2E strategy
+    (/root/reference/test/processing_test.sh:83-124). The gate therefore
+    verifies the distributed scheduling/assembly byte-for-byte (text via
+    md5) against ground truth."""
+    import hashlib
+
     import pyarrow as pa
 
     def project(t: pa.Table) -> pa.Table:
         m = t.column("metrics").combine_chunks()
         return pa.table({
             "url": t.column("url"),
-            "extracted_text": t.column("extracted_text"),
             "payload_kind": t.column("payload_kind"),
             "blocks_kept": m.field("blocks_kept"),
             "blocks_dropped": m.field("blocks_dropped"),
             "chars_emitted": m.field("chars_emitted"),
+            "text_md5": pa.array(
+                [hashlib.md5(x.encode("utf-8")).hexdigest()
+                 for x in t.column("extracted_text").to_pylist()],
+                pa.string()),
         })
     return _extract(sf_dir, "cases").map_batches(project, batch_format="pyarrow")
 
@@ -358,11 +370,15 @@ def _q_asof_bucketed(sf_dir: str):
             "user_id": df["user_id"].astype("int64"),
             "ts": pd.to_datetime(df["ts"]).astype("datetime64[us]"),
             "view_ts": pd.to_datetime(df["ts_right"]).astype("datetime64[us]"),
-            # floor(x*100 + 0.5): DuckDB ROUND is half-away-from-zero,
-            # pandas .round() is banker's — a value landing exactly on a
-            # half-cent (e.g. 0.125) would silently split the hash gate
-            "view_value_cents": np.floor(
-                pd.to_numeric(df["value_right"]) * 100 + 0.5).astype("int64"),
+            # DuckDB ROUND is half-away-from-zero for BOTH signs; pandas
+            # .round() is banker's and floor(x*100+0.5) alone diverges at
+            # negative exact half-cents (-0.125 -> -12 vs -13), so branch
+            # on sign to make the documented equivalence hold everywhere
+            "view_value_cents": np.where(
+                pd.to_numeric(df["value_right"]).to_numpy() >= 0,
+                np.floor(pd.to_numeric(df["value_right"]) * 100 + 0.5),
+                np.ceil(pd.to_numeric(df["value_right"]) * 100 - 0.5),
+            ).astype("int64"),
         })
 
     return joined.map_batches(project, batch_format="pandas")
@@ -500,7 +516,12 @@ def _q_events_sliding(sf_dir: str):
 
 
 def _q_ivf_knn(sf_dir: str):
-    """IVF approximate knn (rows-only: approximate by design)."""
+    """IVF approximate knn. Approximate vs exact knn BY DESIGN (probe
+    pruning), but deterministic — the batch-local candidate cut uses the
+    total order (sim desc, neighbor_id asc), making per-batch top-k +
+    merge partitioning-invariant — so it is golden-fixture-oracled
+    against a single-pass sequential scan with the same quantizer
+    (tools/make_golden_fixtures.py)."""
     import numpy as np
     from pero_ocr_ray.functions.similarity import ivf_knn
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -560,11 +581,15 @@ def _q_asof_purchase_view(sf_dir: str):
             "user_id": df["user_id"].astype("int64"),
             "ts": pd.to_datetime(df["ts"]).astype("datetime64[us]"),
             "view_ts": pd.to_datetime(df["ts_right"]).astype("datetime64[us]"),
-            # floor(x*100 + 0.5): DuckDB ROUND is half-away-from-zero,
-            # pandas .round() is banker's — a value landing exactly on a
-            # half-cent (e.g. 0.125) would silently split the hash gate
-            "view_value_cents": np.floor(
-                pd.to_numeric(df["value_right"]) * 100 + 0.5).astype("int64"),
+            # DuckDB ROUND is half-away-from-zero for BOTH signs; pandas
+            # .round() is banker's and floor(x*100+0.5) alone diverges at
+            # negative exact half-cents (-0.125 -> -12 vs -13), so branch
+            # on sign to make the documented equivalence hold everywhere
+            "view_value_cents": np.where(
+                pd.to_numeric(df["value_right"]).to_numpy() >= 0,
+                np.floor(pd.to_numeric(df["value_right"]) * 100 + 0.5),
+                np.ceil(pd.to_numeric(df["value_right"]) * 100 - 0.5),
+            ).astype("int64"),
         })
 
     return joined.map_batches(project, batch_format="pandas")
@@ -624,11 +649,28 @@ def _q_refine(sf_dir: str):
 
 
 def _q_refine_cases(sf_dir: str):
-    """Refine over the full case-catalog extraction (rows-only: the cases
-    corpus itself is not SQL-expressible)."""
+    """Refine over the full case-catalog extraction, golden-fixture-oracled
+    like ``extract_cases``: the sequential replay applies the shared
+    ``dehyphenate_text`` kernel to the oracle extraction, so the gate
+    checks the distributed extract->refine chain end-to-end (text via
+    md5 + exact char count)."""
+    import hashlib
+
+    import pyarrow as pa
+
     from pero_ocr_ray.stages.refine import refine
+
+    def project(t: pa.Table) -> pa.Table:
+        texts = t.column("refined_text").to_pylist()
+        return pa.table({
+            "url": t.column("url"),
+            "refined_md5": pa.array(
+                [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts],
+                pa.string()),
+            "refined_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
     return (refine(_extract(sf_dir, "cases"), concurrency=_query_pool())
-            .select_columns(["url", "refined_text"]))
+            .map_batches(project, batch_format="pyarrow"))
 
 
 def _q_compare_runs_cer(sf_dir: str):
@@ -653,31 +695,60 @@ def _q_compare_runs_cer(sf_dir: str):
             .select_columns(["url", "char_errors", "ref_chars"]))
 
 
-def _q_searchable_pdf(sf_dir: str):
-    """Searchable-PDF sink (W8, rows-only): extraction output rendered to
-    valid PDFs; verified here by reading each PDF back through the
-    engine's own PDF source (sink↔source closed loop)."""
+def _pdf_attach_image(t):
+    """Row-deterministic page-image payloads: every third url (by md5 of
+    the url) gets a FAKEIMG container -> that row renders as the TWO-LAYER
+    reference form. Module-level so tools/make_golden_fixtures.py replays
+    the identical logic sequentially."""
+    import hashlib
+    import pyarrow as pa
+    from pero_ocr_ray.stages.multimodal import make_fake_image
+    imgs = []
+    for url in t.column("url").to_pylist():
+        seed = int(hashlib.md5(url.encode()).hexdigest()[:8], 16)
+        imgs.append(make_fake_image(16, 12, 3, seed=seed % 251)
+                    if seed % 3 == 0 else None)
+    return t.append_column("page_image", pa.array(imgs, pa.binary()))
+
+
+def _pdf_verify(t):
+    """Read each PDF back through the engine's own PDF source (sink<->
+    source closed loop) and fingerprint the bytes."""
     import hashlib
     import pyarrow as pa
     from pero_ocr_ray.kernels.pdfmini import pdf_blocks
+    urls, shas, nb, ok, has_img = [], [], [], [], []
+    for url, pdf in zip(t.column("url").to_pylist(),
+                        t.column("pdf").to_pylist()):
+        blocks, err = pdf_blocks(pdf)
+        urls.append(url)
+        shas.append(hashlib.md5(pdf).hexdigest())
+        nb.append(len(pdf))
+        ok.append(err == "" and (bool(blocks) or len(pdf) < 800))
+        has_img.append(b"/Subtype /Image" in pdf)
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "pdf_md5": pa.array(shas, pa.string()),
+                     "n_bytes": pa.array(nb, pa.int64()),
+                     "readback_ok": pa.array(ok, pa.bool_()),
+                     "has_image_layer": pa.array(has_img, pa.bool_())})
+
+
+def _q_searchable_pdf(sf_dir: str):
+    """Searchable-PDF sink (W8): extraction output rendered to valid PDFs
+    — every third url as the TWO-LAYER reference form (page image XObject
+    + invisible text, pdf_production.py:64-100 analog, with a
+    deterministic FAKEIMG payload seeded per row) — then verified by
+    reading each PDF back through the engine's own PDF source and
+    counting the embedded image layers. Golden-fixture-oracled: the PDF
+    bytes are deterministic, so a sequential replay through the same
+    codecs (tools/make_golden_fixtures.py) pins every byte via md5."""
     from pero_ocr_ray.sources.searchable_pdf import searchable_pdf
-    pdfs = searchable_pdf(_extract(sf_dir, "simple"))
 
-    def verify(t: pa.Table) -> pa.Table:
-        urls, shas, nb, ok = [], [], [], []
-        for url, pdf in zip(t.column("url").to_pylist(),
-                            t.column("pdf").to_pylist()):
-            blocks, err = pdf_blocks(pdf)
-            urls.append(url)
-            shas.append(hashlib.md5(pdf).hexdigest())
-            nb.append(len(pdf))
-            ok.append(err == "" and (bool(blocks) or len(pdf) < 800))
-        return pa.table({"url": pa.array(urls, pa.string()),
-                         "pdf_md5": pa.array(shas, pa.string()),
-                         "n_bytes": pa.array(nb, pa.int64()),
-                         "readback_ok": pa.array(ok, pa.bool_())})
-
-    return pdfs.map_batches(verify, batch_format="pyarrow")
+    pdfs = searchable_pdf(
+        _extract(sf_dir, "simple").map_batches(_pdf_attach_image,
+                                               batch_format="pyarrow"),
+        image_column="page_image")
+    return pdfs.map_batches(_pdf_verify, batch_format="pyarrow")
 
 
 def _q_training_corpus_v2(sf_dir: str):
@@ -739,19 +810,49 @@ def _q_select_config(sf_dir: str):
 
 def _q_beam_decode(sf_dir: str):
     """Prefix-beam decoding with bigram-LM fusion and per-document hidden
-    state carryover across lines (rows-only: the decode of an ambiguous
-    lattice is defined by the algorithm itself, not SQL-expressible).
-    Deterministic: hash-derived lattices, add-one bigram LM."""
+    state carryover across lines. Deterministic (hash-derived lattices,
+    add-one bigram LM), so golden-fixture-oracled: a sequential replay
+    through the same BeamDecodeStage kernel
+    (tools/make_golden_fixtures.py) pins the decode per doc — text via
+    md5, confidence as floor(c*1e6) int64 (the repo's float-emission
+    convention; both sides run the identical float code, so the fixed-
+    point values are bit-equal)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
     from pero_ocr_ray.stages.beamdecode import beam_decode
-    return beam_decode(_docs(sf_dir), concurrency=_query_pool())
+
+    def project(t: pa.Table) -> pa.Table:
+        conf = t.column("confidence").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "decoded_md5": pa.array(
+                [hashlib.md5(x.encode("utf-8")).hexdigest()
+                 for x in t.column("decoded_text").to_pylist()],
+                pa.string()),
+            "conf_e6": pa.array(np.floor(conf * 1e6).astype("int64")),
+            "n_lines": t.column("n_lines"),
+        })
+
+    return (beam_decode(_docs(sf_dir), concurrency=_query_pool())
+            .map_batches(project, batch_format="pyarrow"))
 
 
 def _q_confusion_top(sf_dir: str):
     """Distributed character-confusion tallies between the original and a
-    vowel-stripped rerun (rows-only: alignment tie-breaks are
-    implementation-defined, so counts aren't SQL-reproducible; the
-    distributed path itself is the system under test — union + url-keyed
-    groupby, no driver materialization)."""
+    vowel-stripped rerun (union + url-keyed groupby + partial-tally
+    aggregate + distributed top-k; no driver materialization).
+
+    SQL-oracled: for THIS pair of runs the ref text is always a
+    subsequence of the hyp text (vowel removal + whitespace re-collapse
+    only deletes characters), so the minimal edit distance equals the
+    length difference, every minimal alignment is deletions-only, and the
+    confusion multiset is exactly the per-character count difference —
+    which DuckDB computes directly. tools/make_confusion_fixture.py
+    replays the full query sequentially through the shared
+    levenshtein_alignment kernel and confirms the same tallies."""
     import pyarrow.compute as pc
     from pero_ocr_ray.functions.quality import confusion_counts
     from pero_ocr_ray.pipelines.extract import extract_pipeline
@@ -1338,7 +1439,7 @@ def _hll_sql() -> str:
                      / (({m} - touched) * 1.0 + s_touched) AS est,
                      {m} - touched AS zeros
               FROM stats)
-        SELECT CAST(round(CASE WHEN est <= {2.5 * m} AND zeros > 0
+        SELECT CAST(floor(CASE WHEN est <= {2.5 * m} AND zeros > 0
                                THEN {m} * ln({m} * 1.0 / zeros)
                                ELSE est END) AS BIGINT) AS estimate
         FROM e"""
@@ -1346,7 +1447,9 @@ def _hll_sql() -> str:
 
 def _minhash_sql(threshold: float = 0.7, source: str = "documents") -> str:
     """From-scratch SQL mirror of functions.dedup.minhash_near_dup_pairs:
-    trigram shingles -> md5-low-64 hashes -> 64 permutations
+    trigram shingles -> md5-high-64 hashes (the repo-wide
+    ``('0x' || substr(md5(v), 1, 16))::UBIGINT`` convention, matching
+    kernels.textstats._shingle_hashes) -> 64 permutations
     ``(a*x + b) mod p`` with the uint64 product wrap made explicit
     (HUGEINT ``% 2^64``) -> min per permutation = signature -> LSH bands of
     4 rows (docs sharing any identical band are candidates) -> estimated
@@ -1693,6 +1796,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 10 = 0 THEN doc_id + 1000000
                              ELSE doc_id END AS BIGINT) AS row_id
             FROM documents""",
+        # golden-fixture oracles: sequential single-process replay through
+        # the SAME kernels (tools/make_cases_fixture.py; the reference's
+        # golden-output E2E strategy, test/processing_test.sh:83-124).
+        # corpus_len discriminates the sf dir (row counts collide across
+        # sf0.001/sf0.01).
+        "extract_cases": f"""
+            SELECT url, payload_kind, blocks_kept, blocks_dropped,
+                   chars_emitted, text_md5
+            FROM read_parquet('{_REPO}/tests/golden/cases_oracle.parquet')
+            WHERE corpus_len = (SELECT sum(length(text)) FROM documents)""",
+        "refine_cases": f"""
+            SELECT url, refined_md5, refined_chars
+            FROM read_parquet('{_REPO}/tests/golden/cases_oracle.parquet')
+            WHERE corpus_len = (SELECT sum(length(text)) FROM documents)""",
+        # (tools/make_golden_fixtures.py: beam decode / PDF render / IVF
+        # scan replayed sequentially through the same shared kernels)
+        "beam_decode_docs": f"""
+            SELECT doc_id, decoded_md5, conf_e6, n_lines
+            FROM read_parquet('{_REPO}/tests/golden/beam_oracle.parquet')
+            WHERE corpus_len = (SELECT sum(length(text)) FROM documents)""",
+        "searchable_pdf": f"""
+            SELECT url, pdf_md5, n_bytes, readback_ok, has_image_layer
+            FROM read_parquet('{_REPO}/tests/golden/pdf_oracle.parquet')
+            WHERE corpus_len = (SELECT sum(length(text)) FROM documents)""",
+        "ivf_knn": f"""
+            SELECT query_id, neighbor_id, rank
+            FROM read_parquet('{_REPO}/tests/golden/ivf_oracle.parquet')
+            WHERE corpus_len = (SELECT sum(length(text)) FROM documents)""",
         "refine_dehyphenate": r"""
             SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR)
                        || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
@@ -1732,6 +1863,28 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS content_hash,
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM documents GROUP BY text""",
+        # vowel-strip + ws-recollapse only DELETES chars, so ref is a
+        # subsequence of hyp, every minimal alignment is deletions-only,
+        # and the confusion multiset == per-char count difference (see
+        # _q_confusion_top docstring; cross-checked by
+        # tools/make_confusion_fixture.py sequential replay)
+        "confusion_top": rf"""
+            WITH h AS (SELECT {_CANON_SQL} AS t FROM documents),
+                 r AS (SELECT trim(regexp_replace(
+                           regexp_replace(text, '[aeiou]', '', 'g'),
+                           '\s+', ' ', 'g')) AS t FROM documents),
+                 hc AS (SELECT ch, count(*) AS n
+                        FROM (SELECT unnest(regexp_extract_all(t, '.')) AS ch
+                              FROM h) GROUP BY ch),
+                 rc AS (SELECT ch, count(*) AS n
+                        FROM (SELECT unnest(regexp_extract_all(t, '.')) AS ch
+                              FROM r) GROUP BY ch),
+                 d AS (SELECT hc.ch, hc.n - coalesce(rc.n, 0) AS n
+                       FROM hc LEFT JOIN rc USING (ch))
+            SELECT ch AS hyp_char, '' AS ref_char, CAST(n AS BIGINT) AS n,
+                   CAST(row_number() OVER (ORDER BY n DESC, ch) AS BIGINT)
+                       AS rank
+            FROM d WHERE n > 0 ORDER BY n DESC, ch LIMIT 20""",
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 5),

@@ -160,9 +160,13 @@ def minhash_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.7,
         df["pair_key"] = df["doc_a"].astype(str) + ":" + df["doc_b"].astype(str)
         return df
 
-    return (pairs.map_batches(add_key, batch_format="pandas")
-                 .groupby("pair_key").map_groups(dedup_pair, batch_format="pandas")
-                 .drop_columns(["pair_key"]))
+    from pero_ocr_ray.util import arrow_meta_free
+    # arrow_meta_free: consumers repartition/shuffle this output — pandas
+    # blocks would make every reduce task log schema-hash warnings
+    return arrow_meta_free(
+        pairs.map_batches(add_key, batch_format="pandas")
+             .groupby("pair_key").map_groups(dedup_pair, batch_format="pandas")
+             .drop_columns(["pair_key"]))
 
 
 def minhash_dedup_drop_ids(ds: rd.Dataset, threshold: float = 0.7,
@@ -180,7 +184,9 @@ def minhash_dedup_drop_ids(ds: rd.Dataset, threshold: float = 0.7,
     def uniq(group: pd.DataFrame) -> pd.DataFrame:
         return group.head(1)
 
-    return dropped.groupby("doc_id").map_groups(uniq, batch_format="pandas")
+    from pero_ocr_ray.util import arrow_meta_free
+    return arrow_meta_free(
+        dropped.groupby("doc_id").map_groups(uniq, batch_format="pandas"))
 
 
 # -- connected components over the near-dup graph --------------------------

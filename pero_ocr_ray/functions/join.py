@@ -32,6 +32,12 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
         cpus = (int(ray.cluster_resources().get("CPU", 4))
                 if ray.is_initialized() else 4)
         num_partitions = max(2, min(64, cpus))
+
+    # Normalize both sides to Arrow blocks with hashable schemas (pandas
+    # metadata makes every aggregator task warn + skip schema dedup).
+    from pero_ocr_ray.util import arrow_meta_free
+    left = arrow_meta_free(left)
+    right = arrow_meta_free(right)
     return left.join(right, join_type=join_type, num_partitions=num_partitions,
                      on=(on,), right_on=(right_on or on,))
 
@@ -90,7 +96,13 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
         for c in rcols:
             rg[c + suffix] = rsub[c + suffix].values
         rg[ts + suffix] = rsub[ts + suffix].values
-        rg = rg.sort_values(ts, kind="mergesort")
+        # secondary sort on the payload columns: among right rows tying on
+        # ts, merge_asof takes the LAST, so without a deterministic tie
+        # order the surviving payload would depend on shuffle arrival
+        # order (ids-always-break-ties invariant). Documented rule: the
+        # lexicographically largest payload tuple wins.
+        rg = rg.sort_values([ts, *[c + suffix for c in rcols]],
+                            kind="mergesort")
         merged = pd.merge_asof(lg, rg, on=ts, direction="backward")
         merged = merged.dropna(subset=[ts + suffix])  # inner semantics
         return merged
@@ -226,7 +238,10 @@ def asof_join_bucketed(left: rd.Dataset, right: rd.Dataset, key: str,
             rg = pd.DataFrame({r_ts: rsub[ts].values})
             for c in rcols:
                 rg[r_of[c]] = rsub[c].values
-            rg = rg.sort_values(r_ts, kind="mergesort")
+            # same deterministic tie rule as asof_join: equal-ts right
+            # rows order by payload tuple, so both the iloc[-1] summary
+            # and merge_asof's last-wins pick are shuffle-order-invariant
+            rg = rg.sort_values([r_ts, *r_of.values()], kind="mergesort")
             summary = rg.iloc[[-1]].copy()
             summary["__kind"] = "summary"
             summary[key] = kval

@@ -252,5 +252,20 @@ def confusion_counts(a: rd.Dataset, b: rd.Dataset, top_k: int = 50,
         })
 
     out = agg.map_batches(finalize, batch_format="pandas")
-    return (out.sort(["n", "hyp_char"], descending=[True, False])
-               .limit(top_k))
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        # fully key-determined total order (n desc, hyp_char, ref_char):
+        # ties at the top_k boundary resolve identically on every run and
+        # in the sequential replay, and the emitted rank pins each row
+        df = df.sort_values(["n", "hyp_char", "ref_char"],
+                            ascending=[False, True, True],
+                            ignore_index=True)
+        df["rank"] = pd.Series(range(1, len(df) + 1), dtype="int64")
+        return df
+
+    return (out.sort(["n", "hyp_char", "ref_char"],
+                     descending=[True, False, False])
+               .limit(top_k)
+               .repartition(1)
+               .map_batches(add_rank, batch_format="pandas",
+                            batch_size=None))

@@ -140,7 +140,13 @@ def ivf_knn(ds: rd.Dataset, queries: np.ndarray, query_ids: list[int],
                 continue
             col = x[idx] @ qm[qi]
             take = min(top_k, len(idx))
-            part = np.argpartition(-col, take - 1)[:take]
+            # total order (sim desc, neighbor_id asc) for the batch-local
+            # cut: argpartition breaks sim ties by position, so which of
+            # two equal-sim candidates survived the cut depended on block
+            # partitioning — the final merge uses this same order, making
+            # per-batch top-k + merge partitioning-invariant (and equal to
+            # a single-pass sequential run, which the golden fixture is)
+            part = np.lexsort((vec_ids[idx], -col))[:take]
             out["query_id"].extend([int(qids[qi])] * take)
             out["neighbor_id"].extend(vec_ids[idx[part]].tolist())
             out["sim"].extend(col[part].tolist())

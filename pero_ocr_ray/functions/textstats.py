@@ -128,8 +128,19 @@ def approx_distinct(ds: rd.Dataset, column: str,
     from ray.data.aggregate import AggregateFn
     from pero_ocr_ray.kernels import hll
 
-    def accumulate(state, block) -> tuple:
-        sk, n = hll.deserialize(state[0]), state[1]
+    # State is ONE bytes blob (sketch ++ uint64 block count): a plain
+    # Arrow binary column. A (bytes, int) tuple state made every
+    # aggregate task fall back to pickled-object blocks with a loud
+    # ArrowConversionError warning per task — thousands of log lines and
+    # a slower shuffle on a real corpus.
+    def pack(sk, n: int) -> bytes:
+        return hll.serialize(sk) + n.to_bytes(8, "big")
+
+    def unpack(state: bytes):
+        return hll.deserialize(state[:-8]), int.from_bytes(state[-8:], "big")
+
+    def accumulate(state, block) -> bytes:
+        sk, n = unpack(state)
         col = (block[column].to_pylist() if hasattr(block, "column_names")
                else list(block[column]))
         if tokenize:
@@ -137,22 +148,27 @@ def approx_distinct(ds: rd.Dataset, column: str,
                 hll.add_many(sk, K.TOKEN_RE.findall(text))
         else:
             hll.add_many(sk, (str(v) for v in col))
-        return (hll.serialize(sk), n + 1)
+        return pack(sk, n + 1)
 
-    def merge(a, b) -> tuple:
-        return (hll.serialize(hll.merge(hll.deserialize(a[0]),
-                                        hll.deserialize(b[0]))),
-                a[1] + b[1])
+    def merge(a, b) -> bytes:
+        sa, na = unpack(a)
+        sb, nb = unpack(b)
+        return pack(hll.merge(sa, sb), na + nb)
+
+    def finalize(state) -> bytes:
+        sk, n = unpack(state)
+        return hll.estimate(sk).to_bytes(8, "big") + n.to_bytes(8, "big")
 
     agg = ds.aggregate(AggregateFn(
-        init=lambda k: (hll.serialize(hll.empty_sketch()), 0),
+        init=lambda k: pack(hll.empty_sketch(), 0),
         merge=merge,
         accumulate_block=accumulate,
-        finalize=lambda s: (hll.estimate(hll.deserialize(s[0])), s[1]),
+        finalize=finalize,
         name="hll",
     ))
-    estimate, n_blocks = agg["hll"]
-    return {"estimate": estimate, "sketches_merged": n_blocks}
+    out = agg["hll"]
+    return {"estimate": int.from_bytes(out[:8], "big"),
+            "sketches_merged": int.from_bytes(out[8:], "big")}
 
 
 def fingerprints(ds: rd.Dataset) -> rd.Dataset:

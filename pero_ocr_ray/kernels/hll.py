@@ -59,7 +59,11 @@ def estimate(sketch: np.ndarray) -> int:
         zeros = int(np.count_nonzero(sketch == 0))
         if zeros:
             est = M * math.log(M / zeros)  # linear counting
-    return int(round(est))
+    # floor, not round(): Python round() is banker's while the DuckDB
+    # oracle's round() is half-away-from-zero, and the two sides also sum
+    # the register series in different orders — floor on BOTH sides is the
+    # repo's integer-emission convention for float-derived gate values
+    return int(math.floor(est))
 
 
 def serialize(sketch: np.ndarray) -> bytes:

@@ -120,6 +120,45 @@ def _beam_decode(ds, cfg: ExtractConfig, concurrency: int = 2,
                           concurrency=concurrency, num_cpus=1)
 
 
+@register_stage("image_features")
+def _image_features(ds, cfg: ExtractConfig, concurrency: int = 2,
+                    batch_size: int = 32, codec=None, **_):
+    """Multimodal feature extraction as a spec stage. ``codec`` may be a
+    ``"module:attr"`` string naming a real decoder (e.g. a cv2.imdecode
+    wrapper) — the documented deployment seam; resolved once per actor
+    (stages/multimodal.py module docstring)."""
+    from pero_ocr_ray.stages.multimodal import image_features
+    return image_features(ds, concurrency=concurrency,
+                          batch_size=batch_size, codec=codec)
+
+
+@register_stage("audio_features")
+def _audio_features(ds, cfg: ExtractConfig, concurrency: int = 2,
+                    batch_size: int = 32, codec=None, **_):
+    from pero_ocr_ray.stages.multimodal import audio_features
+    return audio_features(ds, concurrency=concurrency,
+                          batch_size=batch_size, codec=codec)
+
+
+@register_stage("image_resize")
+def _image_resize(ds, cfg: ExtractConfig, out_w: int = 8, out_h: int = 8,
+                  concurrency: int = 2, batch_size: int = 32, codec=None,
+                  **_):
+    from pero_ocr_ray.stages.multimodal import resize_images
+    return resize_images(ds, out_w=out_w, out_h=out_h,
+                         concurrency=concurrency, batch_size=batch_size,
+                         codec=codec)
+
+
+@register_stage("video_frames")
+def _video_frames(ds, cfg: ExtractConfig, every_k: int = 4,
+                  concurrency: int = 2, batch_size: int = 8, codec=None,
+                  **_):
+    from pero_ocr_ray.stages.multimodal import video_frame_samples
+    return video_frame_samples(ds, every_k=every_k, concurrency=concurrency,
+                               batch_size=batch_size, codec=codec)
+
+
 @register_stage("checkpoint")
 def _checkpoint(ds, cfg: ExtractConfig, path: str = "", **_):
     """Write the current intermediate table to parquet and continue from the

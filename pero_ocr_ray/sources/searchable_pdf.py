@@ -48,12 +48,43 @@ def _wrap(text: str) -> list[str]:
     return out
 
 
+def _image_xobject(page_image: bytes) -> tuple[bytes, int, int] | None:
+    """FAKEIMG payload -> (Flate-compressed Image XObject body, w, h), or
+    None when the payload isn't decodable (real codecs are the documented
+    injection seam in stages/multimodal)."""
+    try:
+        from pero_ocr_ray.stages.multimodal import _decode_image
+        img = _decode_image(page_image)
+    except Exception:
+        return None
+    h, w, c = img.shape
+    if c == 3:
+        cs, data = b"/DeviceRGB", img.tobytes()
+    else:
+        cs, data = b"/DeviceGray", img[:, :, 0].tobytes()
+    stream = zlib.compress(data)
+    body = (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace %s /BitsPerComponent 8 /Filter /FlateDecode "
+            b"/Length %d >>\nstream\n" % (w, h, cs, len(stream))
+            + stream + b"\nendstream")
+    return body, w, h
+
+
 def text_to_pdf(text: str, invisible: bool = False,
-                compress: bool = True) -> bytes:
+                compress: bool = True,
+                page_image: bytes | None = None) -> bytes:
     """Text -> complete PDF bytes (multi-page, valid xref + trailer).
 
     ``invisible`` sets text rendering mode 3 — the searchable-layer mode
-    the reference's pdf_production uses over page images."""
+    the reference's pdf_production uses over page images.
+
+    ``page_image`` closes the two-layer delta to the reference
+    (/root/reference/pero_ocr/document_ocr/pdf_production.py:64-100, which
+    places the page image with the invisible text layer on top): a
+    decodable payload is embedded as a real Image XObject scaled to the
+    first page's MediaBox and drawn BEFORE the text, so the text layer
+    sits above it. Undecodable payloads degrade to text-only (skip-and-
+    continue)."""
     lines = _wrap(text)
     pages = [lines[i:i + LINES_PER_PAGE]
              for i in range(0, max(1, len(lines)), LINES_PER_PAGE)] or [[]]
@@ -65,10 +96,20 @@ def text_to_pdf(text: str, invisible: bool = False,
         return len(objects)
 
     font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    img_id = None
+    if page_image is not None:
+        xobj = _image_xobject(page_image)
+        if xobj is not None:
+            img_id = add(xobj[0])
     page_ids, content_ids = [], []
-    for page_lines in pages:
-        ops = [b"BT", b"/F1 %d Tf" % FONT_SIZE, b"%d TL" % LEADING,
-               b"%d %d Td" % (MARGIN, PAGE_H - MARGIN)]
+    for pg_no, page_lines in enumerate(pages):
+        ops = []
+        if img_id is not None and pg_no == 0:
+            # image layer first: the text ops below paint on top of it
+            ops += [b"q", b"%d 0 0 %d 0 0 cm" % (PAGE_W, PAGE_H),
+                    b"/Im1 Do", b"Q"]
+        ops += [b"BT", b"/F1 %d Tf" % FONT_SIZE, b"%d TL" % LEADING,
+                b"%d %d Td" % (MARGIN, PAGE_H - MARGIN)]
         if invisible:
             ops.append(b"3 Tr")
         for line in page_lines:
@@ -85,11 +126,15 @@ def text_to_pdf(text: str, invisible: bool = False,
             + content + b"\nendstream"))
 
     pages_id = len(objects) + len(pages) + 1  # after the page objects
-    for cid in content_ids:
+    for pg_no, cid in enumerate(content_ids):
+        res = b"<< /Font << /F1 %d 0 R >> >>" % font_id
+        if img_id is not None and pg_no == 0:
+            res = (b"<< /Font << /F1 %d 0 R >> "
+                   b"/XObject << /Im1 %d 0 R >> >>" % (font_id, img_id))
         page_ids.append(add(
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d] "
-            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
-            % (pages_id, PAGE_W, PAGE_H, font_id, cid)))
+            b"/Resources %s /Contents %d 0 R >>"
+            % (pages_id, PAGE_W, PAGE_H, res, cid)))
     kids = b" ".join(b"%d 0 R" % p for p in page_ids)
     real_pages_id = add(b"<< /Type /Pages /Kids [" + kids
                         + b"] /Count %d >>" % len(page_ids))
@@ -113,11 +158,26 @@ def text_to_pdf(text: str, invisible: bool = False,
 
 
 def searchable_pdf(ds, text_column: str = "extracted_text",
-                   invisible: bool = False):
-    """Extraction output -> (url, pdf:binary) Dataset."""
+                   invisible: bool = False,
+                   image_column: str | None = None,
+                   compress: bool = True):
+    """Extraction output -> (url, pdf:binary) Dataset.
+
+    With ``image_column``, rows carrying a decodable page-image payload get
+    the two-layer reference form — page image with INVISIBLE text on top
+    (pdf_production.py:64-100) — while imageless rows keep the plain
+    visible-text rendering."""
     def fn(t: pa.Table) -> pa.Table:
-        pdfs = [text_to_pdf(x or "", invisible=invisible)
-                for x in t.column(text_column).to_pylist()]
+        imgs = (t.column(image_column).to_pylist()
+                if image_column and image_column in t.column_names
+                else [None] * t.num_rows)
+        # cheap magic-byte probe decides the text mode (a truncated payload
+        # then degrades to invisible text without an image — still valid)
+        from pero_ocr_ray.stages.multimodal import IMG_MAGIC
+        pdfs = [text_to_pdf(x or "", page_image=img, compress=compress,
+                            invisible=invisible or (
+                                img is not None and img[:7] == IMG_MAGIC))
+                for x, img in zip(t.column(text_column).to_pylist(), imgs)]
         return pa.table({"url": t.column("url"),
                          "pdf": pa.array(pdfs, pa.binary())})
     return ds.map_batches(fn, batch_format="pyarrow")

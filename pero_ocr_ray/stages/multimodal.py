@@ -16,7 +16,29 @@ Stage shapes mirror the reference's heavy per-record engines: the decoder /
 feature extractor is a callable class (actor pool) whose ``__init__`` loads
 the "model" (a seeded projection matrix) once per actor — the line-OCR
 engine shape (/root/reference/pero_ocr/ocr_engine/line_ocr_engine.py:17-56).
-Real codecs slot in by replacing ``_decode_image`` / ``_decode_audio``.
+
+Codec seam (the documented real-deployment injection point): every stage
+takes a ``codec`` constructor argument — a callable ``bytes -> ndarray``
+(image/video: (h,w,c) / (n,h,w,c); audio: ``bytes -> (sample_rate,
+samples)``) or a ``"module:attr"`` dotted path so JSON/INI pipeline specs
+can name it without holding a Python object. It is resolved by
+:func:`resolve_codec` ONCE PER ACTOR in ``__init__`` — module-level
+monkeypatching would not survive into Ray worker processes, which import
+this module fresh; a constructor arg ships with the actor spec and does.
+A real deployment plugs in OpenCV without touching stage logic::
+
+    def cv2_image_codec(raw: bytes) -> np.ndarray:
+        import cv2
+        img = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("undecodable image")
+        return img
+
+    image_features(ds, codec=cv2_image_codec)          # python API
+    {"stage": "image_features", "codec": "mypkg.codecs:cv2_image_codec"}
+
+Default (``codec=None``): the toy FAKEIMG/FAKEAUD/FAKEVID container
+decoders below (no image/audio library ships in this environment).
 """
 
 from __future__ import annotations
@@ -68,15 +90,36 @@ def _decode_audio(raw: bytes) -> tuple[int, np.ndarray]:
     return sr, np.frombuffer(raw, np.int16, -1, 11)
 
 
+def resolve_codec(spec, default):
+    """Codec-seam resolver (module docstring): ``None`` -> the toy container
+    ``default``; callable -> itself; ``"module:attr"`` / ``"module.attr"``
+    -> imported attribute (the config-file form)."""
+    if spec is None:
+        return default
+    if callable(spec):
+        return spec
+    if isinstance(spec, str):
+        import importlib
+        mod, _, attr = (spec.partition(":") if ":" in spec
+                        else spec.rpartition("."))
+        fn = getattr(importlib.import_module(mod), attr)
+        if not callable(fn):
+            raise TypeError(f"codec {spec!r} resolved to non-callable")
+        return fn
+    raise TypeError(f"codec must be None, callable or 'module:attr' string, "
+                    f"got {type(spec).__name__}")
+
+
 class ImageFeatureStage:
     """Actor pool: decode image binary -> dims + 16-bin histogram feature +
     a seeded linear embedding (model loaded once per actor)."""
 
     EMBED_DIM = 8
 
-    def __init__(self, seed: int = 42):
+    def __init__(self, seed: int = 42, codec=None):
         rng = np.random.RandomState(seed)
         self.proj = rng.randn(16, self.EMBED_DIM)  # the warm "model"
+        self.decode = resolve_codec(codec, _decode_image)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, widths, heights, channels, counts, hists, embeds, errors = \
@@ -85,7 +128,7 @@ class ImageFeatureStage:
                                 batch.column("image").to_pylist()):
             ids.append(item_id)
             try:
-                img = _decode_image(raw)
+                img = self.decode(raw)
                 cnt = np.bincount(img.reshape(-1) >> 4, minlength=16)
                 hist = cnt.astype(np.float64)
                 hist /= max(1.0, hist.sum())
@@ -121,13 +164,16 @@ class ImageFeatureStage:
 class AudioFeatureStage:
     """Actor pool: decode audio binary -> duration / rms / zero-crossings."""
 
+    def __init__(self, codec=None):
+        self.decode = resolve_codec(codec, _decode_audio)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, durs, rmss, energies, zcrs, errors = [], [], [], [], [], []
         for item_id, raw in zip(batch.column("item_id").to_pylist(),
                                 batch.column("audio").to_pylist()):
             ids.append(item_id)
             try:
-                sr, x = _decode_audio(raw)
+                sr, x = self.decode(raw)
                 xf = x.astype(np.float64) / 32768.0
                 durs.append(len(x) / sr if sr else 0.0)
                 rmss.append(float(np.sqrt(np.mean(xf ** 2))) if len(x) else 0.0)
@@ -187,8 +233,9 @@ class ImageResizeStage:
     """Actor pool: decode -> nearest-neighbor resize -> re-encode into the
     same container. The resize math is real; only the codec is the toy."""
 
-    def __init__(self, out_w: int = 8, out_h: int = 8):
+    def __init__(self, out_w: int = 8, out_h: int = 8, codec=None):
         self.out_w, self.out_h = out_w, out_h
+        self.decode = resolve_codec(codec, _decode_image)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, outs, errors = [], [], []
@@ -196,7 +243,7 @@ class ImageResizeStage:
                                 batch.column("image").to_pylist()):
             ids.append(item_id)
             try:
-                img = _decode_image(raw)
+                img = self.decode(raw)
                 small = resize_nearest(img, self.out_w, self.out_h)
                 head = (IMG_MAGIC + np.uint16(self.out_w).tobytes()
                         + np.uint16(self.out_h).tobytes()
@@ -218,15 +265,16 @@ class VideoFrameSampleStage:
     per-frame features — the frame-sample shape for video corpora (small
     batches: payloads dominate block size)."""
 
-    def __init__(self, every_k: int = 4):
+    def __init__(self, every_k: int = 4, codec=None):
         self.k = max(1, every_k)
+        self.decode = resolve_codec(codec, _decode_video)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, fidx, sums, means, errors = [], [], [], [], []
         for item_id, raw in zip(batch.column("item_id").to_pylist(),
                                 batch.column("video").to_pylist()):
             try:
-                frames = _decode_video(raw)
+                frames = self.decode(raw)
                 for j in range(0, frames.shape[0], self.k):
                     ids.append(item_id)
                     fidx.append(j)
@@ -250,29 +298,38 @@ class VideoFrameSampleStage:
         })
 
 
-def image_features(ds, concurrency: int = 2, batch_size: int = 32):
+def image_features(ds, concurrency: int = 2, batch_size: int = 32,
+                   codec=None):
     """Small batches: binary payloads dominate block size (SURVEY §7.5)."""
-    return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+    return ds.map_batches(ImageFeatureStage,
+                          fn_constructor_kwargs={"codec": codec},
+                          batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
 
 
 def resize_images(ds, out_w: int = 8, out_h: int = 8,
-                  concurrency: int = 2, batch_size: int = 32):
+                  concurrency: int = 2, batch_size: int = 32, codec=None):
     return ds.map_batches(ImageResizeStage,
                           fn_constructor_kwargs={"out_w": out_w,
-                                                 "out_h": out_h},
+                                                 "out_h": out_h,
+                                                 "codec": codec},
                           batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
 
 
 def video_frame_samples(ds, every_k: int = 4,
-                        concurrency: int = 2, batch_size: int = 8):
+                        concurrency: int = 2, batch_size: int = 8,
+                        codec=None):
     return ds.map_batches(VideoFrameSampleStage,
-                          fn_constructor_kwargs={"every_k": every_k},
+                          fn_constructor_kwargs={"every_k": every_k,
+                                                 "codec": codec},
                           batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
 
 
-def audio_features(ds, concurrency: int = 2, batch_size: int = 32):
-    return ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+def audio_features(ds, concurrency: int = 2, batch_size: int = 32,
+                   codec=None):
+    return ds.map_batches(AudioFeatureStage,
+                          fn_constructor_kwargs={"codec": codec},
+                          batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)

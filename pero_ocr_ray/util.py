@@ -11,3 +11,20 @@ def dataset_to_table(ds) -> pa.Table:
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="default")
+
+
+def strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Zero-copy drop of schema metadata. pa.Table.from_pandas (Ray's
+    pandas->arrow block conversion) embeds a metadata dict that makes
+    ``hash(schema)`` raise, so every downstream shuffle task logs "Failed
+    to hash the schemas (for deduplication): unhashable type: 'dict'" and
+    skips schema dedup — thousands of warning lines per job at scale."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def arrow_meta_free(ds):
+    """Normalize a Dataset to Arrow blocks with hashable schemas (see
+    :func:`strip_schema_metadata`); a no-op pass-through for blocks that
+    are already clean Arrow. Apply to the tail of any pandas-block stage
+    whose output feeds a shuffle (groupby / repartition / join)."""
+    return ds.map_batches(strip_schema_metadata, batch_format="pyarrow")

@@ -370,6 +370,57 @@ def test_image_feature_determinism():
     assert a.equals(b)
 
 
+def test_multimodal_codec_seam():
+    """The documented deployment seam (multimodal module docstring): a
+    user-supplied codec — the cv2.imdecode analog — replaces the toy
+    container decoder without touching stage logic. Callable form goes
+    through the python API; the FAKEIMG payload now FAILS (proving the
+    default was replaced, not wrapped) and degrades per-row.
+
+    NB the codec is defined INSIDE the test: a tests-module-level def
+    would cloudpickle by reference and Ray workers can't import the tests
+    dir (user codecs live in importable modules; the spec-string test
+    below covers that path)."""
+    from pero_ocr_ray.stages.multimodal import image_features, make_fake_image
+
+    def raw16_codec(raw: bytes):
+        # user codec: 'RAW16' + 16 gray bytes -> (4,4,1)
+        if raw[:5] != b"RAW16":
+            raise ValueError("not RAW16")
+        return np.frombuffer(raw, np.uint8, 16, 5).reshape(4, 4, 1)
+
+    rows = [{"item_id": 0, "image": b"RAW16" + bytes(range(16))},
+            {"item_id": 1, "image": make_fake_image(4, 4)}]
+    out = dataset_to_table(image_features(rd.from_items(rows),
+                                          codec=raw16_codec)
+                           ).to_pandas().sort_values("item_id",
+                                                     ignore_index=True)
+    assert (out.loc[0, "width"], out.loc[0, "height"],
+            out.loc[0, "channels"]) == (4, 4, 1)
+    assert out.loc[0, "error"] == ""
+    assert "decode_failed" in out.loc[1, "error"]
+
+
+def test_multimodal_codec_seam_spec_string():
+    """'module:attr' codec form through the registry — the config-file
+    deployment path ({"stage": "image_features", "codec": "pkg:fn"})."""
+    from pero_ocr_ray.pipelines.registry import build_from_spec
+    from pero_ocr_ray.stages.multimodal import make_fake_image, resolve_codec
+    import pytest as _pytest
+    rows = [{"item_id": i, "image": make_fake_image(8, 6, 3, seed=i)}
+            for i in range(4)]
+    out = dataset_to_table(build_from_spec(
+        rd.from_items(rows),
+        [{"stage": "image_features",
+          "codec": "pero_ocr_ray.stages.multimodal:_decode_image"}]))
+    df = out.to_pandas()
+    assert (df["width"] == 8).all() and (df["error"] == "").all()
+    with _pytest.raises(TypeError):
+        resolve_codec(123, None)
+    with _pytest.raises(TypeError):
+        resolve_codec("pero_ocr_ray.stages.multimodal:IMG_MAGIC", None)
+
+
 # ---- registry + checkpoint ------------------------------------------------
 
 def test_registry_spec_matches_fused(tmp_path):

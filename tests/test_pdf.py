@@ -201,6 +201,60 @@ def test_searchable_pdf_invisible_mode_and_paging():
     assert "line 0" in texts and f"line {LINES_PER_PAGE + 9}" in texts
 
 
+def test_searchable_pdf_two_layer_roundtrip():
+    """Two-layer form (pdf_production.py:64-100 analog): page image as a
+    real Image XObject under the text layer. Round-trip extracts BOTH
+    layers — the text through the engine's PDF source, the image by
+    decompressing the XObject stream back to the original pixels."""
+    import re
+    import zlib as z
+    import numpy as np
+    from pero_ocr_ray.stages.multimodal import make_fake_image, _decode_image
+    from pero_ocr_ray.sources.searchable_pdf import text_to_pdf
+
+    img = make_fake_image(40, 30, 3, seed=9)
+    # compress=False keeps the content-stream ops greppable below
+    pdf = text_to_pdf("text over the page image", invisible=True,
+                      page_image=img, compress=False)
+    # text layer reads back
+    blocks, err = pdf_blocks(pdf)
+    assert err == ""
+    assert "text over the page image" in "\n".join(
+        t for b in blocks for t, _ in b["pieces"])
+    # image layer: one XObject, drawn before the text ops, pixels intact
+    m = re.search(rb"/Subtype /Image /Width (\d+) /Height (\d+) "
+                  rb"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                  rb"/Filter /FlateDecode /Length (\d+) >>\nstream\n", pdf)
+    assert m and (int(m.group(1)), int(m.group(2))) == (40, 30)
+    start = m.end()
+    pixels = np.frombuffer(
+        z.decompress(pdf[start:start + int(m.group(3))]), np.uint8)
+    assert np.array_equal(pixels, _decode_image(img).reshape(-1))
+    assert b"/Im1 Do" in pdf and b"3 Tr" in pdf
+    # imageless and undecodable payloads degrade to text-only
+    assert b"/Subtype /Image" not in text_to_pdf("plain")
+    assert b"/Subtype /Image" not in text_to_pdf("bad", page_image=b"JUNK")
+
+
+def test_searchable_pdf_dataset_image_column():
+    import ray.data as rd
+    from pero_ocr_ray.sources.searchable_pdf import searchable_pdf
+    from pero_ocr_ray.stages.multimodal import make_fake_image
+    from pero_ocr_ray.util import dataset_to_table
+    rows = [{"url": f"u{i}", "extracted_text": f"doc {i}",
+             "page_image": make_fake_image(8, 8, 3, seed=i) if i % 2 == 0
+             else None} for i in range(4)]
+    out = dataset_to_table(searchable_pdf(
+        rd.from_items(rows), image_column="page_image",
+        compress=False)).to_pandas()
+    out = out.sort_values("url", ignore_index=True)
+    for i in range(4):
+        has_img = b"/Subtype /Image" in out["pdf"][i]
+        assert has_img == (i % 2 == 0)
+        # two-layer rows get the invisible searchable text mode
+        assert (b"3 Tr" in out["pdf"][i]) == (i % 2 == 0)
+
+
 def test_searchable_pdf_xref_offsets_valid():
     from pero_ocr_ray.sources.searchable_pdf import text_to_pdf
     pdf = text_to_pdf("check xref")
