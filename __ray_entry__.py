@@ -29,6 +29,21 @@ import pyarrow.parquet as pq  # noqa: E402
 import ray.data as rd  # noqa: E402
 
 
+def _read_pq(path, columns=None, **kwargs):
+    """``rd.read_parquet`` with an explicit metadata-free schema. The
+    driver-written testdata tables carry pandas schema metadata, which
+    makes ``hash(schema)`` raise — every read/shuffle task then logs
+    "Failed to hash the schemas (for deduplication)" and skips schema
+    dedup. Passing the footer schema (projected to ``columns``, metadata
+    removed) makes every block clean at the source; one footer read on
+    the driver, no extra pipeline stage."""
+    import pyarrow as pa
+    full = pq.read_schema(path).remove_metadata()
+    schema = (pa.schema([full.field(c) for c in columns])
+              if columns else full)
+    return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)
+
+
 _PAGES_CACHE: dict[tuple[str, str], Any] = {}
 
 
@@ -170,7 +185,7 @@ def _q_merge_best(sf_dir: str):
 
 def _docs(sf_dir: str, columns: list[str] | None = None):
     # prune at the read: only the columns the operator touches leave storage
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    return _read_pq(os.path.join(sf_dir, "documents.parquet"),
                            columns=columns or ["doc_id", "text"])
 
 
@@ -191,7 +206,7 @@ def _q_stratified_sample(sf_dir: str):
     'en' docs, 500 of 'de', all others default 250 — the SQL oracle
     evaluates the identical md5 permille predicate."""
     from pero_ocr_ray.functions.sampling import stratified_sample
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_pq(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "lang"])
     return stratified_sample(docs, {"en": 100, "de": 500},
                              default_permille=250)
@@ -208,7 +223,7 @@ def _q_domain_cap(sf_dir: str):
     """Domain diversity cap: at most 3 docs per host, smallest doc_ids win
     (one host-keyed shuffle; SQL mirror = row_number <= 3)."""
     from pero_ocr_ray.functions.domains import cap_per_domain
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_pq(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "lang"])
     import pandas as pd
 
@@ -323,9 +338,9 @@ def _q_orders_per_segment(sf_dir: str):
     import pandas as pd
     from ray.data.aggregate import Sum
     from pero_ocr_ray.functions.join import grouped_join_salted
-    o = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    o = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                         columns=["o_orderkey", "o_custkey"])
-    c = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+    c = _read_pq(os.path.join(sf_dir, "customer.parquet"),
                         columns=["c_custkey", "c_mktsegment"])
     j = grouped_join_salted(o, c, on="o_custkey", right_on="c_custkey",
                             salts=4)
@@ -348,7 +363,7 @@ def _q_asof_bucketed(sf_dir: str):
     as the plain asof_purchase_view."""
     import pandas as pd
     from pero_ocr_ray.functions.join import asof_join_bucketed
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "user_id", "ts",
                                   "event_type", "value"])
 
@@ -410,7 +425,7 @@ def _q_simhash_pairs(sf_dir: str):
 
 def _q_knn(sf_dir: str):
     from pero_ocr_ray.functions.similarity import knn_self_queries
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
     return knn_self_queries(emb, n_queries=5, top_k=10)
 
 
@@ -433,14 +448,14 @@ def _q_embedding_near_dup(sf_dir: str):
 
 def _q_events_hourly(sf_dir: str):
     from pero_ocr_ray.functions.windows import tumbling_window_counts
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "ts"])
     return tumbling_window_counts(ev, "h")
 
 
 def _q_q1(sf_dir: str):
     from pero_ocr_ray.functions.relational import pricing_summary
-    li = rd.read_parquet(
+    li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"])
@@ -449,11 +464,11 @@ def _q_q1(sf_dir: str):
 
 def _q_q3(sf_dir: str):
     from pero_ocr_ray.functions.relational import top_orders_by_revenue
-    c = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+    c = _read_pq(os.path.join(sf_dir, "customer.parquet"),
                         columns=["c_custkey", "c_mktsegment"])
-    o = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    o = _read_pq(os.path.join(sf_dir, "orders.parquet"),
                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    li = _read_pq(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount", "l_shipdate"])
     return top_orders_by_revenue(c, o, li, "BUILDING", "1998-01-01", 10)
@@ -461,8 +476,8 @@ def _q_q3(sf_dir: str):
 
 def _q_suppliers_per_nation(sf_dir: str):
     from pero_ocr_ray.functions.relational import suppliers_per_nation
-    s = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"))
-    n = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    s = _read_pq(os.path.join(sf_dir, "supplier.parquet"))
+    n = _read_pq(os.path.join(sf_dir, "nation.parquet"))
     return suppliers_per_nation(s, n)
 
 
@@ -478,7 +493,7 @@ def _q_token_quantiles(sf_dir: str):
 
 def _q_sessionize(sf_dir: str):
     from pero_ocr_ray.functions.windows import sessionize
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts"])
     return sessionize(ev, 30)
 
@@ -487,30 +502,30 @@ def _q_sessionize_bucketed(sf_dir: str):
     """Hot-key-safe sessionize (two-phase (user, day) bucketing + boundary
     merge) — must hash-match the same SQL oracle as the plain operator."""
     from pero_ocr_ray.functions.windows import sessionize_bucketed
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts"])
     return sessionize_bucketed(ev, 30, "D")
 
 
 def _q_distinct_brands(sf_dir: str):
     from pero_ocr_ray.functions.relational import distinct_brands
-    return distinct_brands(rd.read_parquet(os.path.join(sf_dir, "part.parquet")))
+    return distinct_brands(_read_pq(os.path.join(sf_dir, "part.parquet")))
 
 
 def _q_top_parts(sf_dir: str):
     from pero_ocr_ray.functions.relational import top_parts_by_price
-    return top_parts_by_price(rd.read_parquet(os.path.join(sf_dir, "part.parquet")), 5)
+    return top_parts_by_price(_read_pq(os.path.join(sf_dir, "part.parquet")), 5)
 
 
 def _q_segment_counts(sf_dir: str):
     from pero_ocr_ray.functions.relational import customer_segment_counts
     return customer_segment_counts(
-        rd.read_parquet(os.path.join(sf_dir, "customer.parquet")))
+        _read_pq(os.path.join(sf_dir, "customer.parquet")))
 
 
 def _q_events_sliding(sf_dir: str):
     from pero_ocr_ray.functions.windows import sliding_window_counts
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "ts"])
     return sliding_window_counts(ev, 2, 1)
 
@@ -524,7 +539,7 @@ def _q_ivf_knn(sf_dir: str):
     (tools/make_golden_fixtures.py)."""
     import numpy as np
     from pero_ocr_ray.functions.similarity import ivf_knn
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
     import pyarrow.compute as _pc
     head = sorted(emb.map_batches(
                       lambda t: t.filter(_pc.less(t["vec_id"], 5)),
@@ -559,7 +574,7 @@ def _q_asof_purchase_view(sf_dir: str):
     prior (or simultaneous) view event."""
     import pandas as pd
     from pero_ocr_ray.functions.join import asof_join
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "user_id", "ts",
                                   "event_type", "value"])
 
@@ -758,7 +773,7 @@ def _q_training_corpus_v2(sf_dir: str):
     per-lang token+subword budgets — hash-checked against ONE DuckDB
     query that replays every stage (recursive CTE for the clusters)."""
     from pero_ocr_ray.pipelines.training_data import training_corpus_stats_v2
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_pq(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text", "lang"])
     return training_corpus_stats_v2(docs, min_tokens=20,
                                     max_stopword_ratio=0.5,
@@ -772,7 +787,7 @@ def _q_training_corpus_stats(sf_dir: str):
     per-lang stats in one streaming chain; the oracle replays the whole
     composition in SQL (composition correctness, not just per-op)."""
     from pero_ocr_ray.pipelines.training_data import training_corpus_stats
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_pq(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text", "lang"])
     return training_corpus_stats(docs, min_tokens=20,
                                  max_stopword_ratio=0.5)

@@ -27,4 +27,7 @@ def arrow_meta_free(ds):
     :func:`strip_schema_metadata`); a no-op pass-through for blocks that
     are already clean Arrow. Apply to the tail of any pandas-block stage
     whose output feeds a shuffle (groupby / repartition / join)."""
-    return ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
+    # batch_size=None: whole blocks pass through as zero-copy tables
+    # instead of being re-sliced into default-sized batches
+    return ds.map_batches(strip_schema_metadata, batch_format="pyarrow",
+                          batch_size=None)
