@@ -323,6 +323,34 @@ def _q_jaccard_pairs(sf_dir: str):
     return jaccard_near_dup_pairs(rd.from_arrow(both), threshold=0.6)
 
 
+def _bench_texts(sf_dir: str) -> list[str]:
+    """Deterministic stand-in eval benchmark: every 41st document. Bounded
+    by nature (eval suites are MBs vs a TB corpus), so a driver-side fetch
+    + ``ray.put`` broadcast is the right scale shape — never a shuffle
+    side. Order-independence: the consumer builds a SET of shingle hashes."""
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    import pyarrow as pa
+    mask = pa.array(tbl.column("doc_id").to_numpy() % 41 == 0)
+    return tbl.filter(mask).column("text").to_pylist()
+
+
+def _q_contamination(sf_dir: str):
+    """Per-doc distinct-trigram overlap with the benchmark set; the DuckDB
+    oracle rebuilds the counts from the n-gram STRINGS from scratch (hash
+    membership == string membership up to md5-64 collisions)."""
+    from pero_ocr_ray.functions.contamination import ngram_contamination
+    return ngram_contamination(_docs(sf_dir), _bench_texts(sf_dir), n=3)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Corpus docs surviving drop-any-overlap decontamination (benchmark
+    docs drop themselves — they fully overlap the set they define)."""
+    from pero_ocr_ray.functions.contamination import decontaminate
+    out = decontaminate(_docs(sf_dir), _bench_texts(sf_dir), n=3)
+    return out.select_columns(["doc_id"])
+
+
 def _q_near_dup_clusters(sf_dir: str):
     """Transitive near-dup clusters: MinHash-LSH pairs -> distributed
     min-label propagation. The oracle recomputes the same pair set in SQL
@@ -1076,6 +1104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _q_simhash_sigs,
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
+        "ngram_contamination": _q_contamination,
+        "decontaminate_corpus": _q_decontaminate,
         "orders_per_segment": _q_orders_per_segment,
         "asof_purchase_view_bucketed": _q_asof_bucketed,
         "knn_cosine": _q_knn,
@@ -1588,6 +1618,30 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
 
 _SIMHASH_SQL = _simhash_base_sql()
 
+# Shared WITH-prefix for the contamination oracles: distinct word trigrams
+# per doc (the jaccard oracle's tokenize/trigram pattern), the benchmark
+# shingle set (docs with doc_id % 41 = 0 — same rule as _bench_texts), and
+# per-doc sizes/hit counts. Built on n-gram STRINGS — the Ray side matches
+# md5-high-64 hashes, identical membership up to 2^-64 collisions.
+_CONTAM_SQL = """
+    WITH t AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w,
+                   generate_subscripts(toks, 1) AS i FROM t),
+    tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+            FROM tok a
+            JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    shd AS (SELECT DISTINCT doc_id, s FROM tri),
+    bset AS (SELECT DISTINCT s FROM shd WHERE doc_id % 41 = 0),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM shd GROUP BY doc_id),
+    hits AS (SELECT shd.doc_id, CAST(count(*) AS BIGINT) AS h
+             FROM shd JOIN bset ON bset.s = shd.s
+             GROUP BY shd.doc_id)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1696,6 +1750,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = inter.doc_a
             JOIN sizes sb ON sb.doc_id = inter.doc_b
             WHERE CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) >= 0.6""",
+        "ngram_contamination": _CONTAM_SQL + """
+            SELECT d.doc_id,
+                   COALESCE(sz.n, 0) AS n_ngrams,
+                   COALESCE(h.h, 0) AS n_hits,
+                   CASE WHEN COALESCE(sz.n, 0) > 0
+                        THEN COALESCE(h.h, 0) * 1000000 // sz.n
+                        ELSE 0 END AS contam_e6,
+                   COALESCE(h.h, 0) > 0 AS is_contaminated
+            FROM documents d
+            LEFT JOIN sizes sz ON sz.doc_id = d.doc_id
+            LEFT JOIN hits h ON h.doc_id = d.doc_id""",
+        "decontaminate_corpus": _CONTAM_SQL + """
+            SELECT d.doc_id
+            FROM documents d
+            LEFT JOIN hits h ON h.doc_id = d.doc_id
+            WHERE COALESCE(h.h, 0) = 0""",
         "simhash_signatures": _SIMHASH_SQL,
         "simhash_near_dup_pairs": _simhash_pairs_sql(3),
         "minhash_near_dup_pairs": _minhash_sql(0.7),
