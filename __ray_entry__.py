@@ -351,6 +351,46 @@ def _q_decontaminate(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _para_docs(sf_dir: str):
+    """Documents re-chunked into 10-token paragraphs, with a boilerplate
+    paragraph (cookie banner) prepended to every 7th doc — deterministic
+    paragraph structure + corpus-wide duplication injected the way
+    _q_jaccard_pairs injects near-dups (the synthetic docs are single-line).
+    Token split is the ASCII TOKEN_RE convention, mirrored by \\S+ in RE2."""
+    import pyarrow as pa
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            toks = (text or "").split()
+            if not toks:  # SQL's per-token unnest drops token-less docs
+                continue
+            paras = [" ".join(toks[i:i + 10])
+                     for i in range(0, len(toks), 10)]
+            if did % 7 == 0:
+                paras.insert(0, "please accept all cookies to continue")
+            ids.append(did)
+            texts.append("\n\n".join(paras))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return _docs(sf_dir).map_batches(chunk, batch_format="pyarrow")
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    """Docs rebuilt from globally-deduplicated paragraphs (CCNet-style
+    boilerplate removal); first occurrence by (doc_id, idx) survives."""
+    from pero_ocr_ray.functions.paragraphs import paragraph_dedup
+    return paragraph_dedup(_para_docs(sf_dir), min_copies=2)
+
+
+def _q_duplicate_paragraphs(sf_dir: str):
+    """Corpus-duplicated-paragraph census (hash, copies, winner doc)."""
+    from pero_ocr_ray.functions.paragraphs import duplicate_paragraph_stats
+    return duplicate_paragraph_stats(_para_docs(sf_dir), min_copies=2)
+
+
 def _q_near_dup_clusters(sf_dir: str):
     """Transitive near-dup clusters: MinHash-LSH pairs -> distributed
     min-label propagation. The oracle recomputes the same pair set in SQL
@@ -1106,6 +1146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "ngram_contamination": _q_contamination,
         "decontaminate_corpus": _q_decontaminate,
+        "paragraph_dedup_docs": _q_paragraph_dedup,
+        "duplicate_paragraphs": _q_duplicate_paragraphs,
         "orders_per_segment": _q_orders_per_segment,
         "asof_purchase_view_bucketed": _q_asof_bucketed,
         "knn_cosine": _q_knn,
@@ -1618,6 +1660,44 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
 
 _SIMHASH_SQL = _simhash_base_sql()
 
+# Shared WITH-prefix for the paragraph-dedup oracles: rebuild _para_docs's
+# 10-token chunking + boilerplate injection, explode to paragraph
+# instances (idx 1-based; the packed winner key doc_id*2^20+idx is
+# order-isomorphic to the kernel's 0-based form), and count copies per
+# paragraph STRING (the Ray side joins md5-high-64 hashes — identical
+# membership up to 2^-64 collisions).
+_PARA_SQL = r"""
+    WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                FROM documents),
+    tokn AS (SELECT doc_id, unnest(toks) AS w,
+                    generate_subscripts(toks, 1) AS i FROM tk),
+    chunk AS (SELECT doc_id, (i - 1) // 10 AS c,
+                     string_agg(w, ' ' ORDER BY i) AS para
+              FROM tokn GROUP BY doc_id, (i - 1) // 10),
+    base0 AS (SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY c) AS text
+              FROM chunk GROUP BY doc_id),
+    base AS (SELECT doc_id,
+                    CASE WHEN doc_id % 7 = 0
+                         THEN 'please accept all cookies to continue'
+                              || chr(10) || chr(10) || text
+                         ELSE text END AS text
+             FROM base0),
+    ps AS (SELECT doc_id,
+                  string_split(text, chr(10) || chr(10)) AS paras
+           FROM base),
+    p AS (SELECT doc_id, unnest(paras) AS para,
+                 generate_subscripts(paras, 1) AS idx FROM ps),
+    cnt AS (SELECT para, CAST(count(*) AS BIGINT) AS n,
+                   min(doc_id * 1048576 + idx) AS wkey
+            FROM p GROUP BY para),
+    keep AS (SELECT p.doc_id, p.idx, p.para
+             FROM p JOIN cnt ON cnt.para = p.para
+             WHERE cnt.n < 2 OR p.doc_id * 1048576 + p.idx = cnt.wkey),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS np
+              FROM p GROUP BY doc_id)
+"""
+
 # Shared WITH-prefix for the contamination oracles: distinct word trigrams
 # per doc (the jaccard oracle's tokenize/trigram pattern), the benchmark
 # shingle set (docs with doc_id % 41 = 0 — same rule as _bench_texts), and
@@ -1766,6 +1846,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN hits h ON h.doc_id = d.doc_id
             WHERE COALESCE(h.h, 0) = 0""",
+        "paragraph_dedup_docs": _PARA_SQL + """
+            SELECT k.doc_id,
+                   string_agg(k.para, chr(10) || chr(10)
+                              ORDER BY k.idx) AS text,
+                   s.np AS n_paras,
+                   s.np - CAST(count(*) AS BIGINT) AS n_dropped
+            FROM keep k JOIN sizes s ON s.doc_id = k.doc_id
+            GROUP BY k.doc_id, s.np""",
+        "duplicate_paragraphs": _PARA_SQL + """
+            SELECT ('0x' || substr(md5(para), 1, 16))::UBIGINT AS para_hash,
+                   n AS n_copies,
+                   CAST(wkey // 1048576 AS BIGINT) AS winner_doc_id
+            FROM cnt WHERE n >= 2""",
         "simhash_signatures": _SIMHASH_SQL,
         "simhash_near_dup_pairs": _simhash_pairs_sql(3),
         "minhash_near_dup_pairs": _minhash_sql(0.7),
