@@ -850,6 +850,18 @@ def _q_training_corpus_v2(sf_dir: str):
                                     default_permille=700)
 
 
+def _q_training_corpus_v3(sf_dir: str):
+    """Web-corpus curation chain — cross-corpus paragraph dedup
+    (boilerplate removal), benchmark decontamination, exact dedup on the
+    rebuilt text, narrow lang join, quality filter, per-lang budgets —
+    hash-checked against ONE DuckDB query replaying every stage."""
+    from pero_ocr_ray.pipelines.training_data import training_corpus_stats_v3
+    lang_ds = _read_pq(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "lang"])
+    return training_corpus_stats_v3(_para_docs(sf_dir), lang_ds,
+                                    _bench_texts(sf_dir))
+
+
 def _q_training_corpus_stats(sf_dir: str):
     """Composed curation pipeline: exact dedup -> quality filter ->
     per-lang stats in one streaming chain; the oracle replays the whole
@@ -1178,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "beam_decode_docs": _q_beam_decode,
         "training_corpus_stats": _q_training_corpus_stats,
         "training_corpus_v2": _q_training_corpus_v2,
+        "training_corpus_v3": _q_training_corpus_v3,
         "select_config": _q_select_config,
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
@@ -1880,6 +1893,57 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_tokens": _hll_sql(),
         "select_config": _select_config_sql(),
         "training_corpus_v2": _training_v2_sql(),
+        "training_corpus_v3": _PARA_SQL + r"""
+            , rebuilt AS (
+                SELECT k.doc_id,
+                       string_agg(k.para, chr(10) || chr(10)
+                                  ORDER BY k.idx) AS text,
+                       s.np - CAST(count(*) AS BIGINT) AS n_dropped
+                FROM keep k JOIN sizes s ON s.doc_id = k.doc_id
+                GROUP BY k.doc_id, s.np),
+            rt AS (SELECT doc_id,
+                          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM rebuilt),
+            rtok AS (SELECT doc_id, unnest(toks) AS w,
+                            generate_subscripts(toks, 1) AS i FROM rt),
+            rtri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                     FROM rtok a
+                     JOIN rtok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                     JOIN rtok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            rshd AS (SELECT DISTINCT doc_id, s FROM rtri),
+            bt AS (SELECT doc_id,
+                          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents WHERE doc_id % 41 = 0),
+            btok AS (SELECT doc_id, unnest(toks) AS w,
+                            generate_subscripts(toks, 1) AS i FROM bt),
+            btri AS (SELECT DISTINCT b1.w || ' ' || b2.w || ' ' || b3.w AS s
+                     FROM btok b1
+                     JOIN btok b2 ON b2.doc_id = b1.doc_id AND b2.i = b1.i + 1
+                     JOIN btok b3 ON b3.doc_id = b1.doc_id AND b3.i = b1.i + 2),
+            chits AS (SELECT rshd.doc_id, CAST(count(*) AS BIGINT) AS h
+                      FROM rshd JOIN btri ON btri.s = rshd.s
+                      GROUP BY rshd.doc_id),
+            clean AS (SELECT r.* FROM rebuilt r
+                      LEFT JOIN chits h ON h.doc_id = r.doc_id
+                      WHERE COALESCE(h.h, 0) = 0),
+            surv AS (SELECT * FROM clean
+                     QUALIFY row_number() OVER (PARTITION BY text
+                                                ORDER BY doc_id) = 1),
+            lng AS (SELECT s.doc_id, s.text, s.n_dropped, d.lang
+                    FROM surv s JOIN documents d ON d.doc_id = s.doc_id),
+            feat AS (SELECT doc_id, lang, n_dropped,
+                            CAST(length(regexp_extract_all(text, '\S+'))
+                                 AS BIGINT) AS n_tokens,
+                            CAST(length(regexp_extract_all(lower(text),
+                                 '""" + _STOPWORD_SQL + r"""'))
+                                 AS BIGINT) AS n_stop
+                     FROM lng),
+            kept2 AS (SELECT * FROM feat
+                      WHERE n_tokens >= 20 AND n_stop <= 0.5 * n_tokens)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(n_dropped) AS BIGINT) AS sum_dropped_paras
+            FROM kept2 GROUP BY lang""",
         "page_quality": _page_quality_sql(),
         "merge_best": rf"""
             WITH a AS (SELECT doc_id, {_URL_SQL} AS url,

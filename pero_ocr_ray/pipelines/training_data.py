@@ -153,3 +153,81 @@ def training_corpus_stats_v2(documents: rd.Dataset, **kwargs) -> rd.Dataset:
         })
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# v3: web-corpus chain — paragraph boilerplate removal + decontamination
+# ---------------------------------------------------------------------------
+
+
+def curate_v3(pdocs: rd.Dataset, lang_ds: rd.Dataset,
+              bench_texts: list[str], min_tokens: int = 20,
+              max_stopword_ratio: float = 0.5) -> rd.Dataset:
+    """Paragraph-structured docs -> curated rows, as one composition:
+
+        cross-corpus paragraph dedup (boilerplate removal;      # shuffles 1-2
+           combiner counts + left-outer join + bucketed rebuild)
+        -> benchmark decontamination (broadcast shingle set,    # narrow
+           drop-any-overlap)
+        -> exact doc dedup on the REBUILT text (boilerplate-    # shuffle 3
+           stripped copies collapse that raw dedup would miss)
+        -> lang recovery via narrow (doc_id, lang) hash join    # shuffle 4
+        -> quality filter (vectorized token/stopword features)  # narrow
+
+    ``pdocs`` is (doc_id, text); ``lang_ds`` is the 2-column (doc_id, lang)
+    side — joined AFTER dedup so only survivors ship. Carries ``n_dropped``
+    (boilerplate paragraphs removed per doc) through to the stats."""
+    from pero_ocr_ray.functions.contamination import decontaminate
+    from pero_ocr_ray.functions.join import hash_join
+    from pero_ocr_ray.functions.paragraphs import paragraph_dedup
+
+    # phase checkpoint, same rationale as curate_full: the rebuilt corpus
+    # feeds exact_dedup's two consumers (winner groupby + join left side)
+    cleaned = paragraph_dedup(pdocs).repartition(8).materialize()
+    decon = decontaminate(cleaned, bench_texts)
+    # .repartition(8) consolidates the null-schema empty blocks a native
+    # join leaves in sparse partitions before feeding the NEXT native join
+    # (CLAUDE.md join gotcha; bites at tiny inputs where partitions empty)
+    deduped = exact_dedup(decon).repartition(8)
+    with_lang = hash_join(deduped, lang_ds, on="doc_id")
+
+    def quality_filter(df: pd.DataFrame) -> pd.DataFrame:
+        n_tokens = df["text"].str.count(K.TOKEN_RE)
+        n_stop = df["text"].str.lower().str.count(K.STOPWORD_RE)
+        keep = (n_tokens >= min_tokens) & \
+               (n_stop <= max_stopword_ratio * n_tokens)
+        out = df.loc[keep].copy()
+        out["n_tokens"] = n_tokens[keep].astype("int64")
+        return out
+
+    return with_lang.map_batches(quality_filter, batch_format="pandas")
+
+
+def training_corpus_stats_v3(pdocs: rd.Dataset, lang_ds: rd.Dataset,
+                             bench_texts: list[str],
+                             **kwargs) -> rd.Dataset:
+    """-> (lang, n_docs, sum_tokens, sum_dropped_paras) over the
+    :func:`curate_v3` corpus — the web-chain correctness surface."""
+    curated = curate_v3(pdocs, lang_ds, bench_texts, **kwargs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("lang", as_index=False)
+                  .agg(n_partial=("doc_id", "size"),
+                       tok_partial=("n_tokens", "sum"),
+                       drop_partial=("n_dropped", "sum")))
+
+    agg = (curated.map_batches(partial, batch_format="pandas")
+           .groupby("lang").aggregate(
+               Sum("n_partial", alias_name="n_docs"),
+               Sum("tok_partial", alias_name="sum_tokens"),
+               Sum("drop_partial", alias_name="sum_dropped_paras")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "n_docs": df["n_docs"].astype("int64"),
+            "sum_tokens": df["sum_tokens"].astype("int64"),
+            "sum_dropped_paras": df["sum_dropped_paras"].astype("int64"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")

@@ -88,3 +88,40 @@ def test_hot_paragraph_is_combiner_shaped():
         batch_format="pyarrow").to_pandas()
     assert agg["rows"].sum() == n
     assert agg["dropped"].sum() == n - 1  # every copy but the winner
+
+
+def test_curate_v3_composition():
+    """Boilerplate removal -> decontamination -> exact dedup -> quality:
+    each stage's effect visible in the final per-lang stats."""
+    import ray.data as rd
+    from pero_ocr_ray.pipelines.training_data import curate_v3
+
+    body = " ".join(f"w{i}" for i in range(30))
+    zbody = " ".join(f"z{i}" for i in range(25))
+    rows = [
+        # doc 0 wins both shared paragraphs; doc 1 loses both and vanishes
+        {"doc_id": 0, "text": BOILER + "\n\n" + body},
+        {"doc_id": 1, "text": body + "\n\n" + BOILER},
+        # contaminated doc: shares trigrams with the bench text
+        {"doc_id": 2, "text": "the eval answer is forty two " + body.replace("w", "x")},
+        # short doc: fails the min_tokens quality gate
+        {"doc_id": 3, "text": "too short"},
+        # clean long doc
+        {"doc_id": 4, "text": " ".join(f"y{i}" for i in range(25))},
+        # exact duplicates (identical after the no-op paragraph pass):
+        # collapse to min doc_id 5
+        {"doc_id": 5, "text": zbody},
+        {"doc_id": 6, "text": zbody},
+    ]
+    lang = rd.from_items([{"doc_id": i, "lang": "en" if i < 3 else "de"}
+                          for i in range(7)])
+    out = (dataset_to_table(
+        curate_v3(rd.from_items(rows), lang,
+                  bench_texts=["the eval answer is forty two"],
+                  min_tokens=20)).to_pandas().sort_values("doc_id"))
+    assert list(out["doc_id"]) == [0, 4, 5]
+    got = out.set_index("doc_id")
+    assert got.loc[0, "text"] == BOILER + "\n\n" + body  # winner keeps all
+    assert got.loc[0, "lang"] == "en"
+    assert got.loc[4, "lang"] == "de"
+    assert got.loc[5, "text"] == zbody  # doc 6 collapsed into 5
