@@ -109,7 +109,7 @@ def run_bench() -> dict:
     query_times: dict[str, float] = {}
     names = () if os.environ.get("BENCH_SKIP_QUERIES") else (
         "q1_pricing", "events_hourly", "dedup_exact_groups",
-        "knn_cosine", "doc_quality")
+        "knn_cosine", "doc_quality", "paragraph_dedup_docs")
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
     for name in names:

@@ -167,7 +167,13 @@ def paragraph_dedup(ds: rd.Dataset, min_copies: int = 2,
     bytes proportional to what survives."""
     from pero_ocr_ray.functions.join import hash_join
 
-    exploded = explode_paragraphs(ds, sep)
+    # checkpoint the exploded corpus ONCE: it feeds both the duplicate
+    # counting aggregate and the join's left side, and leaving it lazy
+    # re-runs the whole split+md5 scan a second time (measured 2x the
+    # kernel CPU of the job). Same phase-checkpoint rationale as
+    # curate_full: at 100 TB this lands in the object store and spills —
+    # the alternative (re-reading and re-hashing the corpus) costs more.
+    exploded = explode_paragraphs(ds, sep).materialize()
     dup = _dup_table(exploded, min_copies).select_columns(
         ["para_hash", "wkey"])
     joined = hash_join(exploded, dup, on="para_hash",
@@ -189,19 +195,24 @@ def paragraph_dedup(ds: rd.Dataset, min_copies: int = 2,
 
     marked = joined.map_batches(mark, batch_format="pyarrow")
 
-    def rebuild_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def rebuild_bucket(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["doc_id", "idx"], kind="mergesort")
         sizes = g.groupby("doc_id", sort=True).size()
         kept = g[g["kept"]]
         txt = kept.groupby("doc_id", sort=True)["para"].agg(sep.join)
         nk = kept.groupby("doc_id", sort=True).size()
-        out = pd.DataFrame({
-            "doc_id": txt.index.to_numpy(dtype="int64"),
-            "text": txt.to_numpy(dtype=object),
-            "n_paras": sizes.reindex(txt.index).to_numpy(dtype="int64"),
-            "n_dropped": (sizes.reindex(txt.index)
-                          - nk.reindex(txt.index)).to_numpy(dtype="int64"),
+        # explicit Arrow types: empty pandas blocks otherwise convert with
+        # null-typed columns, and any downstream join rejects the block
+        # (CLAUDE.md join gotcha)
+        return pa.table({
+            "doc_id": pa.array(txt.index.to_numpy(dtype="int64"),
+                               pa.int64()),
+            "text": pa.array(txt.to_numpy(dtype=object), pa.string()),
+            "n_paras": pa.array(sizes.reindex(txt.index)
+                                .to_numpy(dtype="int64"), pa.int64()),
+            "n_dropped": pa.array((sizes.reindex(txt.index)
+                                   - nk.reindex(txt.index))
+                                  .to_numpy(dtype="int64"), pa.int64()),
         })
-        return out
 
     return marked.groupby("bucket").map_groups(rebuild_bucket)
