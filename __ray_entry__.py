@@ -391,6 +391,36 @@ def _q_duplicate_paragraphs(sf_dir: str):
     return duplicate_paragraph_stats(_para_docs(sf_dir), min_copies=2)
 
 
+def _q_inverted_index(sf_dir: str):
+    """Inverted token index (stats for every token, posting lists for the
+    rare set). A per-doc rare token ``tag<doc_id % 250>`` is injected so
+    the posting path has coverage at every sf (the synthetic vocabulary is
+    all-common otherwise); SQL mirrors the injection."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pero_ocr_ray.functions.index import inverted_index
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        suffix = pa.array([f" tag{i % 250}" for i in ids], pa.string())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pc.binary_join_element_wise(t.column("text"), suffix,
+                                                pa.scalar("")),
+        })
+
+    docs = _docs(sf_dir).map_batches(tag, batch_format="pyarrow")
+    return inverted_index(docs, max_df=32)
+
+
+def _q_docs_above_lang_median(sf_dir: str):
+    """Derived-threshold filter: per-lang discrete median token count
+    (hot-key-safe histogram), broadcast back, strictly-above filter."""
+    from pero_ocr_ray.functions.relational import docs_above_lang_median
+    return docs_above_lang_median(
+        _docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
 def _q_near_dup_clusters(sf_dir: str):
     """Transitive near-dup clusters: MinHash-LSH pairs -> distributed
     min-label propagation. The oracle recomputes the same pair set in SQL
@@ -1160,6 +1190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_corpus": _q_decontaminate,
         "paragraph_dedup_docs": _q_paragraph_dedup,
         "duplicate_paragraphs": _q_duplicate_paragraphs,
+        "inverted_index": _q_inverted_index,
+        "docs_above_lang_median": _q_docs_above_lang_median,
         "orders_per_segment": _q_orders_per_segment,
         "asof_purchase_view_bucketed": _q_asof_bucketed,
         "knn_cosine": _q_knn,
@@ -1872,6 +1904,45 @@ def oracle_sql() -> dict[str, str]:
                    n AS n_copies,
                    CAST(wkey // 1048576 AS BIGINT) AS winner_doc_id
             FROM cnt WHERE n >= 2""",
+        "inverted_index": """
+            WITH d2 AS (SELECT doc_id,
+                               text || ' tag' || CAST(doc_id % 250 AS VARCHAR)
+                                   AS text
+                        FROM documents),
+            tok AS (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text),
+                                                     '[a-z0-9]+')) AS w
+                    FROM d2),
+            tf AS (SELECT w AS token, doc_id,
+                          CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY w, doc_id),
+            stats AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+                             CAST(SUM(tf) AS BIGINT) AS total_tf
+                      FROM tf GROUP BY token),
+            top AS (SELECT token, doc_id AS top_doc FROM tf
+                    QUALIFY row_number() OVER (PARTITION BY token
+                                               ORDER BY tf DESC, doc_id) = 1),
+            posts AS (SELECT tf.token,
+                             string_agg(CAST(tf.doc_id AS VARCHAR), ','
+                                        ORDER BY tf.doc_id) AS postings
+                      FROM tf JOIN stats ON stats.token = tf.token
+                      WHERE stats.doc_freq <= 32 GROUP BY tf.token)
+            SELECT s.token, s.doc_freq, s.total_tf, t.top_doc,
+                   COALESCE(p.postings, '') AS postings
+            FROM stats s
+            JOIN top t ON t.token = s.token
+            LEFT JOIN posts p ON p.token = s.token""",
+        "docs_above_lang_median": r"""
+            WITH f AS (SELECT doc_id, lang,
+                              CAST(length(regexp_extract_all(text, '\S+'))
+                                   AS BIGINT) AS n_tokens
+                       FROM documents),
+            med AS (SELECT lang,
+                           CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS m
+                    FROM f GROUP BY lang)
+            SELECT f.doc_id, f.lang, f.n_tokens
+            FROM f JOIN med ON med.lang = f.lang
+            WHERE f.n_tokens > med.m""",
         "simhash_signatures": _SIMHASH_SQL,
         "simhash_near_dup_pairs": _simhash_pairs_sql(3),
         "minhash_near_dup_pairs": _minhash_sql(0.7),

@@ -276,3 +276,35 @@ def token_quantiles_by_lang(documents: rd.Dataset) -> rd.Dataset:
 def lang_counts(documents: rd.Dataset) -> rd.Dataset:
     """Documents per lang (Arrow partial count then tiny groupby)."""
     return _count_by(documents, "lang", "n_docs")
+
+
+def docs_above_lang_median(documents: rd.Dataset) -> rd.Dataset:
+    """-> (doc_id, lang, n_tokens) for docs STRICTLY above their
+    language's median token count — the derived-threshold filter pattern
+    (compute a corpus statistic, then filter the stream by it).
+
+    Two passes by construction: the per-lang median comes from the
+    hot-key-safe histogram in :func:`token_quantiles_by_lang` (lang
+    cardinality is tiny, so the medians table is driver-fetchable and
+    broadcast via ``ray.put``), then one streaming filter applies it.
+    Median semantics are DuckDB ``quantile_disc(x, 0.5)`` exactly."""
+    import ray
+
+    from pero_ocr_ray.kernels.textstats import TOKEN_RE
+
+    meds = {r["lang"]: int(r["p50"])
+            for r in token_quantiles_by_lang(documents).take_all()}
+    ref = ray.put(meds)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        n = df["text"].str.count(TOKEN_RE).astype("int64")
+        thresh = df["lang"].map(m)
+        mask = n > thresh
+        return pd.DataFrame({
+            "doc_id": df.loc[mask, "doc_id"].astype("int64"),
+            "lang": df.loc[mask, "lang"],
+            "n_tokens": n[mask],
+        })
+
+    return documents.map_batches(keep, batch_format="pandas")

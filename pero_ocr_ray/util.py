@@ -31,3 +31,19 @@ def arrow_meta_free(ds):
     # instead of being re-sliced into default-sized batches
     return ds.map_batches(strip_schema_metadata, batch_format="pyarrow",
                           batch_size=None)
+
+
+def pin_empty_blocks(ds, schema: pa.Schema):
+    """Rewrite zero-row blocks to carry ``schema`` explicitly (and strip
+    metadata from the rest). Sparse shuffle partitions emit NULL-SCHEMA
+    empty blocks (no columns at all); a downstream native join then fails
+    with ``ArrowInvalid: No match ... for key field FieldRef(<key>)``.
+    ``repartition(n)`` hides it only while every output block is non-empty
+    — at tiny inputs it bites again, so pin the schema statically at the
+    join boundary (the caller always knows its own output schema)."""
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return strip_schema_metadata(t)
+
+    return ds.map_batches(fix, batch_format="pyarrow", batch_size=None)

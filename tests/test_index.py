@@ -1,0 +1,77 @@
+"""Inverted index + derived-threshold filter."""
+
+import pandas as pd
+
+import ray.data as rd
+
+from pero_ocr_ray.functions.index import inverted_index
+from pero_ocr_ray.functions.relational import docs_above_lang_median
+from pero_ocr_ray.util import dataset_to_table
+
+
+def test_inverted_index_semantics():
+    rows = [
+        {"doc_id": 0, "text": "the cat sat on the mat"},
+        {"doc_id": 1, "text": "the dog sat"},
+        {"doc_id": 2, "text": "cat cat cat"},
+        {"doc_id": 3, "text": ""},
+    ]
+    out = (dataset_to_table(inverted_index(rd.from_items(rows), max_df=2))
+           .to_pandas().set_index("token").sort_index())
+    assert len(out) == 6  # the cat sat on mat dog
+    # top doc = max tf, tie -> min doc_id
+    assert out.loc["cat", "top_doc"] == 2      # tf 3 beats tf 1
+    assert out.loc["cat", "total_tf"] == 4
+    assert out.loc["sat", "top_doc"] == 0      # tf tie 1-1 -> min id
+    assert out.loc["the", "doc_freq"] == 2 and out.loc["the", "total_tf"] == 3
+    # postings ascend by doc_id, capped by max_df
+    assert out.loc["cat", "postings"] == "0,2"
+    assert out.loc["dog", "postings"] == "1"
+
+
+def test_inverted_index_max_df_cut():
+    rows = [{"doc_id": i, "text": f"common uniq{i}"} for i in range(10)]
+    out = (dataset_to_table(inverted_index(rd.from_items(rows), max_df=5))
+           .to_pandas().set_index("token"))
+    assert out.loc["common", "doc_freq"] == 10
+    assert out.loc["common", "postings"] == ""  # over the rare cut
+    assert out.loc["uniq3", "postings"] == "3"
+
+
+def test_inverted_index_hot_token_is_combiner_shaped():
+    """A token present in every one of 50k docs crosses the stats shuffle
+    as per-block partials and never materializes a posting group."""
+    import pyarrow as pa
+
+    n = 50_000
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = [int(x) for x in t.column("id").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"hot hot word{i}" for i in ids], pa.string()),
+        })
+
+    ds = rd.range(n).map_batches(mk, batch_format="pyarrow")
+    out = inverted_index(ds, max_df=8)
+    hot = (out.filter(expr="token == 'hot'")
+           .to_pandas().set_index("token"))
+    assert hot.loc["hot", "doc_freq"] == n
+    assert hot.loc["hot", "total_tf"] == 2 * n
+    assert hot.loc["hot", "postings"] == ""
+
+
+def test_docs_above_lang_median():
+    rows = []
+    for i in range(9):  # en: token counts 1..9, median 5
+        rows.append({"doc_id": i, "lang": "en",
+                     "text": " ".join(["w"] * (i + 1))})
+    for i in range(4):  # de: counts 10,20,30,40, quantile_disc -> 20
+        rows.append({"doc_id": 100 + i, "lang": "de",
+                     "text": " ".join(["x"] * ((i + 1) * 10))})
+    out = (dataset_to_table(docs_above_lang_median(rd.from_items(rows)))
+           .to_pandas())
+    en = out[out["lang"] == "en"]["doc_id"].sort_values().tolist()
+    de = out[out["lang"] == "de"]["doc_id"].sort_values().tolist()
+    assert en == [5, 6, 7, 8]          # counts 6..9 > median 5
+    assert de == [102, 103]            # 30, 40 > disc-median 20
