@@ -421,6 +421,14 @@ def _q_docs_above_lang_median(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text", "lang"]))
 
 
+def _q_token_budget_cut(sf_dir: str):
+    """Per-lang token-budget cap via the distributed prefix-sum (scan)
+    composition; inclusive running total <= 1500 tokens per lang."""
+    from pero_ocr_ray.functions.budget import token_budget_cut
+    return token_budget_cut(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                            default_budget=1500)
+
+
 def _q_near_dup_clusters(sf_dir: str):
     """Transitive near-dup clusters: MinHash-LSH pairs -> distributed
     min-label propagation. The oracle recomputes the same pair set in SQL
@@ -1192,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_paragraphs": _q_duplicate_paragraphs,
         "inverted_index": _q_inverted_index,
         "docs_above_lang_median": _q_docs_above_lang_median,
+        "token_budget_cut": _q_token_budget_cut,
         "orders_per_segment": _q_orders_per_segment,
         "asof_purchase_view_bucketed": _q_asof_bucketed,
         "knn_cosine": _q_knn,
@@ -1932,6 +1941,18 @@ def oracle_sql() -> dict[str, str]:
             FROM stats s
             JOIN top t ON t.token = s.token
             LEFT JOIN posts p ON p.token = s.token""",
+        "token_budget_cut": r"""
+            WITH f AS (SELECT doc_id, lang,
+                              CAST(length(regexp_extract_all(text, '\S+'))
+                                   AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, lang, n_tokens,
+                         SUM(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+                  FROM f)
+            SELECT doc_id, lang, n_tokens FROM c WHERE cum <= 1500""",
         "docs_above_lang_median": r"""
             WITH f AS (SELECT doc_id, lang,
                               CAST(length(regexp_extract_all(text, '\S+'))

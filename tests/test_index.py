@@ -75,3 +75,45 @@ def test_docs_above_lang_median():
     de = out[out["lang"] == "de"]["doc_id"].sort_values().tolist()
     assert en == [5, 6, 7, 8]          # counts 6..9 > median 5
     assert de == [102, 103]            # 30, 40 > disc-median 20
+
+
+def test_token_budget_cut_scan():
+    """Distributed prefix-sum semantics: inclusive running total per lang,
+    priority order ascending doc_id, exact budget boundary kept."""
+    import ray.data as rd
+    from pero_ocr_ray.functions.budget import token_budget_cut
+
+    rows = []
+    for i in range(10):
+        rows.append({"doc_id": i, "lang": "en", "text": " ".join(["w"] * 10)})
+    for i in range(5):
+        rows.append({"doc_id": 100 + i, "lang": "de",
+                     "text": " ".join(["x"] * 7)})
+    out = (dataset_to_table(token_budget_cut(
+        rd.from_items(rows), {"en": 35, "de": 14})).to_pandas()
+        .sort_values("doc_id"))
+    assert list(out[out["lang"] == "en"]["doc_id"]) == [0, 1, 2]  # 30<=35
+    assert list(out[out["lang"] == "de"]["doc_id"]) == [100, 101]  # 14<=14
+
+
+def test_token_budget_cut_matches_pandas_window():
+    """Property: equals the pandas groupby-cumsum form on a shuffled-id
+    corpus that spans many blocks (runs straddle block boundaries)."""
+    import ray.data as rd
+    from pero_ocr_ray.functions.budget import token_budget_cut
+
+    rows = []
+    for i in range(500):
+        lang = ["en", "de", "fr"][i % 3]
+        ntok = (i * 37) % 23 + 1
+        rows.append({"doc_id": (i * 211) % 997, "lang": lang,
+                     "text": " ".join(["t"] * ntok)})
+    budget = 800
+    out = (dataset_to_table(token_budget_cut(
+        rd.from_items(rows), default_budget=budget)).to_pandas())
+    df = pd.DataFrame(rows)
+    df["n_tokens"] = df["text"].str.split().str.len()
+    df = df.sort_values(["lang", "doc_id"])
+    df["cum"] = df.groupby("lang")["n_tokens"].cumsum()
+    expect = set(df[df["cum"] <= budget]["doc_id"])
+    assert set(out["doc_id"]) == expect and len(out) == len(expect)
