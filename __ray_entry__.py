@@ -429,6 +429,12 @@ def _q_token_budget_cut(sf_dir: str):
                             default_budget=1500)
 
 
+def _q_training_chunks(sf_dir: str):
+    """Overlapping fixed-token-window chunking (tokenizer prep)."""
+    from pero_ocr_ray.functions.chunking import chunk_for_training
+    return chunk_for_training(_docs(sf_dir), chunk_tokens=64, overlap=8)
+
+
 def _q_near_dup_clusters(sf_dir: str):
     """Transitive near-dup clusters: MinHash-LSH pairs -> distributed
     min-label propagation. The oracle recomputes the same pair set in SQL
@@ -1201,6 +1207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "docs_above_lang_median": _q_docs_above_lang_median,
         "token_budget_cut": _q_token_budget_cut,
+        "training_chunks": _q_training_chunks,
         "orders_per_segment": _q_orders_per_segment,
         "asof_purchase_view_bucketed": _q_asof_bucketed,
         "knn_cosine": _q_knn,
@@ -1941,6 +1948,26 @@ def oracle_sql() -> dict[str, str]:
             FROM stats s
             JOIN top t ON t.token = s.token
             LEFT JOIN posts p ON p.token = s.token""",
+        "training_chunks": r"""
+            WITH tk AS (SELECT doc_id,
+                               regexp_extract_all(text, '\S+') AS toks
+                        FROM documents),
+            tokn AS (SELECT doc_id, unnest(toks) AS w,
+                            generate_subscripts(toks, 1) AS i FROM tk),
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                   FROM tokn GROUP BY doc_id),
+            cs AS (SELECT doc_id,
+                          CASE WHEN n <= 64 THEN 0
+                               ELSE (n - 64 + 55) // 56 END AS c_max
+                   FROM sz),
+            cc AS (SELECT doc_id, unnest(range(0, c_max + 1)) AS c FROM cs),
+            j AS (SELECT cc.doc_id, cc.c, t.w, t.i
+                  FROM cc JOIN tokn t ON t.doc_id = cc.doc_id
+                   AND t.i - 1 >= cc.c * 56 AND t.i - 1 < cc.c * 56 + 64)
+            SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   string_agg(w, ' ' ORDER BY i) AS text
+            FROM j GROUP BY doc_id, c""",
         "token_budget_cut": r"""
             WITH f AS (SELECT doc_id, lang,
                               CAST(length(regexp_extract_all(text, '\S+'))

@@ -117,3 +117,29 @@ def test_token_budget_cut_matches_pandas_window():
     df["cum"] = df.groupby("lang")["n_tokens"].cumsum()
     expect = set(df[df["cum"] <= budget]["doc_id"])
     assert set(out["doc_id"]) == expect and len(out) == len(expect)
+
+
+def test_chunk_for_training_boundaries():
+    import ray.data as rd
+    from pero_ocr_ray.functions.chunking import chunk_for_training
+
+    def doc(i, n):
+        return {"doc_id": i, "text": " ".join(f"t{k}" for k in range(n))}
+
+    rows = [doc(0, 10), doc(1, 64), doc(2, 65), doc(3, 130), doc(4, 0)]
+    out = (dataset_to_table(chunk_for_training(
+        rd.from_items(rows), chunk_tokens=64, overlap=8)).to_pandas())
+    g = out.groupby("doc_id")
+    assert g.size().to_dict() == {0: 1, 1: 1, 2: 2, 3: 3}  # doc 4 empty
+    d2 = out[out["doc_id"] == 2].sort_values("chunk_id")
+    assert list(d2["n_tokens"]) == [64, 9]  # tail = n - stride = 65-56
+    # consecutive chunks share exactly `overlap` tokens
+    c0, c1 = d2["text"].tolist()
+    assert c0.split()[-8:] == c1.split()[:8]
+    d3 = out[out["doc_id"] == 3].sort_values("chunk_id")
+    assert list(d3["n_tokens"]) == [64, 64, 18]  # 130 - 2*56
+    # full coverage: union of chunk tokens == all tokens
+    toks = set()
+    for t in d3["text"]:
+        toks.update(t.split())
+    assert toks == {f"t{k}" for k in range(130)}
