@@ -435,6 +435,21 @@ def _q_training_chunks(sf_dir: str):
     return chunk_for_training(_docs(sf_dir), chunk_tokens=64, overlap=8)
 
 
+def _q_doc_tfidf_topk(sf_dir: str):
+    """Top-5 TF-IDF keywords per doc: combiner df + partitioned hash join
+    + bucketed per-doc top-k (integer-score ranking, token tie-break)."""
+    from pero_ocr_ray.functions.tfidf import doc_tfidf_topk
+    return doc_tfidf_topk(_docs(sf_dir), k=5)
+
+
+def _q_doc_lm_score(sf_dir: str):
+    """CCNet-style corpus-LM scoring: bounded top-4096 unigram vocab
+    trained distributed, broadcast once, zero-shuffle per-doc scoring in
+    exact int64 micro-nats."""
+    from pero_ocr_ray.functions.tfidf import doc_lm_score
+    return doc_lm_score(_docs(sf_dir), vocab_size=4096)
+
+
 def _q_near_dup_clusters(sf_dir: str):
     """Transitive near-dup clusters: MinHash-LSH pairs -> distributed
     min-label propagation. The oracle recomputes the same pair set in SQL
@@ -1208,6 +1223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_lang_median": _q_docs_above_lang_median,
         "token_budget_cut": _q_token_budget_cut,
         "training_chunks": _q_training_chunks,
+        "doc_tfidf_topk": _q_doc_tfidf_topk,
+        "doc_lm_score": _q_doc_lm_score,
         "orders_per_segment": _q_orders_per_segment,
         "asof_purchase_view_bucketed": _q_asof_bucketed,
         "knn_cosine": _q_knn,
@@ -1968,6 +1985,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_tokens,
                    string_agg(w, ' ' ORDER BY i) AS text
             FROM j GROUP BY doc_id, c""",
+        # tfidf_e6 = floor((tf * ln(N/df)) * 1e6): identical association
+        # order to the numpy kernel; ranking/tie-break on the INTEGER
+        # score so the top-5 cut is engine-independent.
+        "doc_tfidf_topk": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                                          '[a-z0-9]+')) AS token
+                         FROM documents),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY token),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+                         CAST(floor((tf.tf * ln((SELECT n FROM n) / dfr.df))
+                                    * 1e6) AS BIGINT) AS tfidf_e6
+                  FROM tf JOIN dfr USING (token)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                             ORDER BY tfidf_e6 DESC, token) AS rk FROM s)
+            SELECT doc_id, token, tf, df, tfidf_e6 FROM r WHERE rk <= 5""",
+        # Bounded unigram LM: vocab = top 4096 tokens (count desc, token),
+        # add-one smoothing over T + V + 1; every per-token log-prob is
+        # quantized to int64 micro-nats BEFORE summation (exact integer
+        # sums on both engines — no float-order divergence).
+        "doc_lm_score": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                                          '[a-z0-9]+')) AS token
+                         FROM documents),
+            cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                    FROM tok GROUP BY token),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) + 4097.0 AS tp FROM cnt),
+            voc AS (SELECT token, n FROM
+                      (SELECT token, n, row_number() OVER
+                         (ORDER BY n DESC, token) AS rk FROM cnt)
+                    WHERE rk <= 4096),
+            sc AS (SELECT token,
+                          CAST(floor(ln((n + 1) / (SELECT tp FROM tot))
+                                     * 1e6) AS BIGINT) AS s_e6 FROM voc),
+            scored AS (SELECT t.doc_id,
+                              coalesce(sc.s_e6,
+                                       CAST(floor(ln(1.0 / (SELECT tp FROM tot))
+                                                  * 1e6) AS BIGINT)) AS s_e6
+                       FROM tok t LEFT JOIN sc USING (token))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(floor(CAST(sum(s_e6) AS DOUBLE) / count(*))
+                        AS BIGINT) AS lm_score_e6
+            FROM scored GROUP BY doc_id""",
         "token_budget_cut": r"""
             WITH f AS (SELECT doc_id, lang,
                               CAST(length(regexp_extract_all(text, '\S+'))
