@@ -580,6 +580,24 @@ def _q_events_hourly(sf_dir: str):
     return tumbling_window_counts(ev, "h")
 
 
+def _q_user_retention(sf_dir: str):
+    """Weekly retention cohorts: per-user Min combiners + pair dedup +
+    one hash join; the matrix shuffle moves (cohort, offset) partials."""
+    from pero_ocr_ray.functions.cohorts import user_retention
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                  columns=["user_id", "ts"])
+    return user_retention(ev)
+
+
+def _q_event_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel; per-step joins shrink
+    monotonically, per-user times are Min combiners."""
+    from pero_ocr_ray.functions.cohorts import event_funnel
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"),
+                  columns=["user_id", "ts", "event_type"])
+    return event_funnel(ev)
+
+
 def _q_q1(sf_dir: str):
     from pero_ocr_ray.functions.relational import pricing_summary
     li = _read_pq(
@@ -1230,6 +1248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
+        "user_retention": _q_user_retention,
+        "event_funnel": _q_event_funnel,
         "q1_pricing": _q_q1,
         "q3_top_orders": _q_q3,
         "suppliers_per_nation": _q_suppliers_per_nation,
@@ -2327,6 +2347,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        # Monday-start week truncation on both engines (Arrow
+        # floor_temporal(week) == DuckDB date_trunc('week')); offsets are
+        # exact integer arithmetic on week-truncated stamps.
+        "user_retention": """
+            WITH c AS (SELECT user_id, date_trunc('week', min(ts))
+                                            AS cohort_week
+                       FROM events GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+                  FROM events)
+            SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+                   CAST(date_diff('day', c.cohort_week, a.w) // 7
+                        AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a JOIN c USING (user_id)
+            GROUP BY c.cohort_week, week_offset""",
+        # step k = min ts of a step-k event STRICTLY after the user's
+        # step-(k-1) time; one row per completed-prefix step.
+        "event_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT '1_view' AS step,
+                   CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL SELECT '2_click',
+                   CAST((SELECT count(*) FROM s2) AS BIGINT)
+            UNION ALL SELECT '3_purchase',
+                   CAST((SELECT count(*) FROM s3) AS BIGINT)""",
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
