@@ -696,6 +696,26 @@ def _q_ivf_knn(sf_dir: str):
                    top_k=10, n_lists=8, n_probe=4)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed exact int64 k-means (fixed-point Lloyd; every quantity
+    integer, so distributed == sequential replay bit-for-bit). Golden-
+    fixture-oracled (tools/make_golden_fixtures.py sequential_kmeans)."""
+    from pero_ocr_ray.functions.clustering import kmeans_clusters
+    emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
+                   columns=["vec_id", "embedding"])
+    return kmeans_clusters(emb, k=8, iters=4)
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): exact k-means clusters as blocking
+    keys, greedy within-cluster cosine dedup from exact integer dots.
+    Golden-fixture-oracled (sequential_semdedup)."""
+    from pero_ocr_ray.functions.clustering import semantic_dedup
+    emb = _read_pq(os.path.join(sf_dir, "embeddings.parquet"),
+                   columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, k=8, iters=4)
+
+
 def _q_extract_lines(sf_dir: str):
     from pero_ocr_ray.stages.extract import explode_lines
     return explode_lines(_extract(sf_dir, "simple"))
@@ -1265,6 +1285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_lines": _q_extract_lines,
         "events_sliding": _q_events_sliding,
         "ivf_knn": _q_ivf_knn,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semantic_dedup": _q_semantic_dedup,
         "asof_purchase_view": _q_asof_purchase_view,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "token_quantiles_by_lang": _q_token_quantiles,
@@ -2269,6 +2291,14 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn": f"""
             SELECT query_id, neighbor_id, rank
             FROM read_parquet('{_REPO}/tests/golden/ivf_oracle.parquet')
+            WHERE corpus_len = (SELECT sum(length(text)) FROM documents)""",
+        "kmeans_clusters": f"""
+            SELECT vec_id, cluster_id, dist2_q
+            FROM read_parquet('{_REPO}/tests/golden/kmeans_oracle.parquet')
+            WHERE corpus_len = (SELECT sum(length(text)) FROM documents)""",
+        "semantic_dedup": f"""
+            SELECT vec_id, cluster_id, kept, dropped_by, capped
+            FROM read_parquet('{_REPO}/tests/golden/semdedup_oracle.parquet')
             WHERE corpus_len = (SELECT sum(length(text)) FROM documents)""",
         "refine_dehyphenate": r"""
             SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR)

@@ -52,3 +52,15 @@ def test_ivf_fixture_current():
     from make_golden_fixtures import _corpus_len, sequential_ivf
     assert _committed("ivf_oracle.parquet",
                       _corpus_len(SF)).equals(sequential_ivf(SF))
+
+
+def test_kmeans_fixture_current():
+    from make_golden_fixtures import _corpus_len, sequential_kmeans
+    assert _committed("kmeans_oracle.parquet",
+                      _corpus_len(SF)).equals(sequential_kmeans(SF))
+
+
+def test_semdedup_fixture_current():
+    from make_golden_fixtures import _corpus_len, sequential_semdedup
+    assert _committed("semdedup_oracle.parquet",
+                      _corpus_len(SF)).equals(sequential_semdedup(SF))

@@ -125,15 +125,80 @@ def sequential_ivf(sf_dir: str) -> pa.Table:
     return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
 
+def _load_embeddings(sf_dir: str):
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    x = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in emb.column("embedding").to_pylist()])
+    return ids, x
+
+
+def sequential_kmeans(sf_dir: str) -> pa.Table:
+    """Exact int64 k-means (kernels/kmeans.py), one process: identical to
+    the distributed run because every quantity is integer arithmetic."""
+    from pero_ocr_ray.kernels import kmeans as K
+
+    ids, x = _load_embeddings(sf_dir)
+    xq = K.quantize(x)
+    cq = K.kmeans_fit_q(xq, ids, k=8, iters=4)
+    labels, dist2 = K.assign_q(xq, cq)
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "cluster_id": pa.array(labels, pa.int64()),
+                     "dist2_q": pa.array(dist2, pa.int64())})
+
+
+def sequential_semdedup(sf_dir: str, max_cluster: int = 4096,
+                        threshold_e6: int = 950_000) -> pa.Table:
+    """SemDeDup replay: same centroids, same greedy per-cluster kernel,
+    same smallest-ids cap (mirrors functions/clustering.py)."""
+    from pero_ocr_ray.kernels import kmeans as K
+
+    ids, x = _load_embeddings(sf_dir)
+    xq = K.quantize(x)
+    cq = K.kmeans_fit_q(xq, ids, k=8, iters=4)
+    labels, _ = K.assign_q(xq, cq)
+
+    cols = {"vec_id": [], "cluster_id": [], "kept": [],
+            "dropped_by": [], "capped": []}
+    for j in sorted(set(labels.tolist())):
+        pos = np.nonzero(labels == j)[0]
+        pos = pos[np.argsort(ids[pos], kind="stable")]
+        head, tail = pos[:max_cluster], pos[max_cluster:]
+        kept, dropped_by = K.semdedup_group(ids[head], xq[head],
+                                            threshold_e6)
+        cols["vec_id"].extend(ids[head].tolist() + ids[tail].tolist())
+        cols["cluster_id"].extend([j] * len(pos))
+        cols["kept"].extend(kept.tolist() + [True] * len(tail))
+        cols["dropped_by"].extend(dropped_by.tolist() + [-1] * len(tail))
+        cols["capped"].extend([False] * len(head) + [True] * len(tail))
+    return pa.table({
+        "vec_id": pa.array(cols["vec_id"], pa.int64()),
+        "cluster_id": pa.array(cols["cluster_id"], pa.int64()),
+        "kept": pa.array(cols["kept"], pa.bool_()),
+        "dropped_by": pa.array(cols["dropped_by"], pa.int64()),
+        "capped": pa.array(cols["capped"], pa.bool_()),
+    })
+
+
 FIXTURES = {
     "beam_oracle.parquet": sequential_beam,
     "pdf_oracle.parquet": sequential_pdf,
     "ivf_oracle.parquet": sequential_ivf,
+    "kmeans_oracle.parquet": sequential_kmeans,
+    "semdedup_oracle.parquet": sequential_semdedup,
 }
 
 
 def main() -> None:
-    sf_dirs = sys.argv[1:] or list(DEFAULT_SF_DIRS)
+    global FIXTURES
+    args = sys.argv[1:]
+    if args and args[0] == "--only":          # --only kmeans,semdedup
+        wanted = set(args[1].split(","))
+        FIXTURES = {f: fn for f, fn in FIXTURES.items()
+                    if f.split("_oracle")[0] in wanted}
+        args = args[2:]
+    sf_dirs = args or list(DEFAULT_SF_DIRS)
     keys = [_corpus_len(d) for d in sf_dirs]
     if len(set(keys)) != len(keys):
         raise SystemExit(f"corpus_len collision across sf dirs: {keys}")
