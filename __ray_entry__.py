@@ -435,6 +435,18 @@ def _q_training_chunks(sf_dir: str):
     return chunk_for_training(_docs(sf_dir), chunk_tokens=64, overlap=8)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Greedy fixed-capacity sequence packing of the training chunks;
+    sequential per bucket (the only honest shape for a running-fill
+    recurrence), parallel across buckets. Oracled by a recursive CTE
+    replaying the same recurrence."""
+    from pero_ocr_ray.functions.chunking import (chunk_for_training,
+                                                 pack_sequences)
+    return pack_sequences(chunk_for_training(_docs(sf_dir),
+                                             chunk_tokens=64, overlap=8),
+                          capacity=256, num_buckets=8)
+
+
 def _q_doc_tfidf_topk(sf_dir: str):
     """Top-5 TF-IDF keywords per doc: combiner df + partitioned hash join
     + bucketed per-doc top-k (integer-score ranking, token tie-break)."""
@@ -1261,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_lang_median": _q_docs_above_lang_median,
         "token_budget_cut": _q_token_budget_cut,
         "training_chunks": _q_training_chunks,
+        "pack_sequences": _q_pack_sequences,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
         "doc_lm_score": _q_doc_lm_score,
         "orders_per_segment": _q_orders_per_segment,
@@ -2027,6 +2040,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_tokens,
                    string_agg(w, ' ' ORDER BY i) AS text
             FROM j GROUP BY doc_id, c""",
+        # chunk sizes re-derived arithmetically (min(64, n - c*56)), then
+        # the greedy running-fill recurrence replayed as a recursive CTE
+        # (depth = max rows per bucket).
+        "pack_sequences": r"""
+            WITH RECURSIVE
+            sz AS (SELECT doc_id,
+                          CAST(length(regexp_extract_all(text, '\S+'))
+                               AS BIGINT) AS n
+                   FROM documents
+                   WHERE length(regexp_extract_all(text, '\S+')) > 0),
+            cs AS (SELECT doc_id, n,
+                          CASE WHEN n <= 64 THEN 0
+                               ELSE (n - 64 + 55) // 56 END AS c_max
+                   FROM sz),
+            ch0 AS (SELECT doc_id, unnest(range(0, c_max + 1)) AS c, n
+                    FROM cs),
+            ch AS (SELECT CAST(doc_id % 8 AS BIGINT) AS bucket, doc_id,
+                          CAST(c AS BIGINT) AS chunk_id,
+                          CAST(least(64, n - c * 56) AS BIGINT) AS n_tokens,
+                          row_number() OVER (PARTITION BY doc_id % 8
+                                             ORDER BY doc_id, c) AS rn
+                   FROM ch0),
+            rec AS (
+                SELECT bucket, rn, doc_id, chunk_id, n_tokens,
+                       CAST(0 AS BIGINT) AS seq_id, n_tokens AS seq_fill
+                FROM ch WHERE rn = 1
+                UNION ALL
+                SELECT c.bucket, c.rn, c.doc_id, c.chunk_id, c.n_tokens,
+                       CASE WHEN r.seq_fill + c.n_tokens <= 256
+                            THEN r.seq_id ELSE r.seq_id + 1 END,
+                       CASE WHEN r.seq_fill + c.n_tokens <= 256
+                            THEN r.seq_fill + c.n_tokens
+                            ELSE c.n_tokens END
+                FROM rec r JOIN ch c
+                  ON c.bucket = r.bucket AND c.rn = r.rn + 1)
+            SELECT bucket, seq_id, doc_id, chunk_id, n_tokens, seq_fill
+            FROM rec""",
         # tfidf_e6 = floor((tf * ln(N/df)) * 1e6): identical association
         # order to the numpy kernel; ranking/tie-break on the INTEGER
         # score so the top-5 cut is engine-independent.

@@ -19,6 +19,7 @@ Pure streaming map — no shuffle; a 100 TB corpus chunks at read bandwidth.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -58,3 +59,64 @@ def chunk_for_training(docs: rd.Dataset, chunk_tokens: int = 64,
         })
 
     return docs.map_batches(chunks, batch_format="pandas")
+
+
+_PACK_SCHEMA = pa.schema([
+    ("bucket", pa.int64()), ("seq_id", pa.int64()), ("doc_id", pa.int64()),
+    ("chunk_id", pa.int64()), ("n_tokens", pa.int64()),
+    ("seq_fill", pa.int64()),
+])
+
+
+def pack_sequences(chunks: rd.Dataset, capacity: int = 256,
+                   num_buckets: int = 8) -> rd.Dataset:
+    """Greedy first-fit packing of training chunks into fixed-capacity
+    sequences -> (bucket, seq_id, doc_id, chunk_id, n_tokens, seq_fill).
+
+    Packing is inherently sequential (each decision depends on the running
+    fill), so parallelism comes from BUCKETS: chunks are partitioned by
+    ``doc_id % num_buckets`` and each bucket packs independently in
+    (doc_id, chunk_id) order — greedy: a chunk joins the open sequence if
+    it fits, else opens the next one (``seq_id`` counts per bucket;
+    ``seq_fill`` is the running fill after placement). Deterministic and
+    partition-invariant because the order is total; the DuckDB oracle
+    replays the same recurrence with a recursive CTE. Size ``num_buckets``
+    to the cluster — each bucket's state is one integer, the rows stream.
+
+    A chunk larger than ``capacity`` gets a sequence of its own (the
+    recurrence handles it: it never fits an open sequence).
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # no pc.mod kernel in this pyarrow; numpy view is zero-copy
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket",
+                               pa.array(did % num_buckets, pa.int64()))
+
+    def pack(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "chunk_id"], kind="mergesort")
+        n = g["n_tokens"].to_numpy("int64")
+        seq = np.empty(len(g), dtype=np.int64)
+        fill = np.empty(len(g), dtype=np.int64)
+        cur_seq, cur_fill = 0, 0
+        for i in range(len(g)):
+            if cur_fill > 0 and cur_fill + n[i] > capacity:
+                cur_seq += 1
+                cur_fill = 0
+            cur_fill += n[i]
+            seq[i] = cur_seq
+            fill[i] = cur_fill
+        return pa.table({
+            "bucket": pa.array(g["bucket"].to_numpy("int64"), pa.int64()),
+            "seq_id": pa.array(seq, pa.int64()),
+            "doc_id": pa.array(g["doc_id"].to_numpy("int64"), pa.int64()),
+            "chunk_id": pa.array(g["chunk_id"].to_numpy("int64"),
+                                 pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "seq_fill": pa.array(fill, pa.int64()),
+        })
+
+    return (chunks.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pack, batch_format="pandas"))

@@ -143,3 +143,48 @@ def test_chunk_for_training_boundaries():
     for t in d3["text"]:
         toks.update(t.split())
     assert toks == {f"t{k}" for k in range(130)}
+
+
+def test_pack_sequences_greedy():
+    import ray.data as rd
+    from pero_ocr_ray.functions.chunking import pack_sequences
+
+    chunks = [
+        {"doc_id": 0, "chunk_id": 0, "n_tokens": 100, "text": ""},
+        {"doc_id": 0, "chunk_id": 1, "n_tokens": 100, "text": ""},
+        {"doc_id": 8, "chunk_id": 0, "n_tokens": 100, "text": ""},  # same bucket
+        {"doc_id": 8, "chunk_id": 1, "n_tokens": 60, "text": ""},
+        {"doc_id": 1, "chunk_id": 0, "n_tokens": 300, "text": ""},  # oversize
+        {"doc_id": 1, "chunk_id": 1, "n_tokens": 10, "text": ""},
+    ]
+    out = (dataset_to_table(pack_sequences(
+               rd.from_items(chunks), capacity=256, num_buckets=8))
+           .to_pandas().sort_values(["bucket", "doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    b0 = out[out["bucket"] == 0]
+    # 100+100 fits; +100 would be 300 -> new seq; +60 fits there
+    assert b0["seq_id"].tolist() == [0, 0, 1, 1]
+    assert b0["seq_fill"].tolist() == [100, 200, 100, 160]
+    b1 = out[out["bucket"] == 1]
+    # oversize chunk occupies seq 0 alone (fill 300 > capacity); next opens seq 1
+    assert b1["seq_id"].tolist() == [0, 1]
+    assert b1["seq_fill"].tolist() == [300, 10]
+
+
+def test_pack_sequences_partitioning_invariant():
+    import ray.data as rd
+    from pero_ocr_ray.functions.chunking import (chunk_for_training,
+                                                 pack_sequences)
+
+    rows = [{"doc_id": i, "text": " ".join(f"w{j}" for j in range(5 + i * 7 % 90))}
+            for i in range(40)]
+    a = (dataset_to_table(pack_sequences(chunk_for_training(
+            rd.from_items(rows)), capacity=128)).to_pandas()
+         .sort_values(["bucket", "doc_id", "chunk_id"]).reset_index(drop=True))
+    b = (dataset_to_table(pack_sequences(chunk_for_training(
+            rd.from_items(rows).repartition(9)), capacity=128)).to_pandas()
+         .sort_values(["bucket", "doc_id", "chunk_id"]).reset_index(drop=True))
+    assert a.equals(b)
+    # no sequence over capacity unless a single chunk exceeds it alone
+    per_seq = a.groupby(["bucket", "seq_id"])["n_tokens"].sum()
+    assert (per_seq <= 128).all()
