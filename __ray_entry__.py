@@ -435,6 +435,26 @@ def _q_training_chunks(sf_dir: str):
     return chunk_for_training(_docs(sf_dir), chunk_tokens=64, overlap=8)
 
 
+def _q_normalize_text(sf_dir: str):
+    """C4-style normalization chain (control strip, quote/dash fold,
+    ws collapse, trim) — pure streaming map; the oracle SQL nests the
+    SAME ordered rule list (built from NORMALIZE_RULES, one source of
+    truth)."""
+    from pero_ocr_ray.functions.textstats import normalize_text
+    return normalize_text(_docs(sf_dir))
+
+
+def _normalize_sql() -> str:
+    from pero_ocr_ray.functions.textstats import NORMALIZE_RULES
+    expr = "text"
+    for p, r in NORMALIZE_RULES:
+        pe, re_ = p.replace("'", "''"), r.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pe}', '{re_}', 'g')"
+    return (f"SELECT doc_id, {expr} AS norm_text, "
+            f"CAST(length(text) - length({expr}) AS BIGINT) "
+            f"AS n_chars_removed FROM documents")
+
+
 def _q_pack_sequences(sf_dir: str):
     """Greedy fixed-capacity sequence packing of the training chunks;
     sequential per bucket (the only honest shape for a running-fill
@@ -1274,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_cut": _q_token_budget_cut,
         "training_chunks": _q_training_chunks,
         "pack_sequences": _q_pack_sequences,
+        "normalize_text": _q_normalize_text,
         "doc_tfidf_topk": _q_doc_tfidf_topk,
         "doc_lm_score": _q_doc_lm_score,
         "orders_per_segment": _q_orders_per_segment,
@@ -2040,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_tokens,
                    string_agg(w, ' ' ORDER BY i) AS text
             FROM j GROUP BY doc_id, c""",
+        "normalize_text": _normalize_sql(),
         # chunk sizes re-derived arithmetically (min(64, n - c*56)), then
         # the greedy running-fill recurrence replayed as a recursive CTE
         # (depth = max rows per bucket).

@@ -89,6 +89,46 @@ def quality_scores(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pandas")
 
 
+# text-normalization chain (C4-style cleanup), applied IN ORDER. Each rule
+# is an (RE2-compatible regex, replacement) pair evaluated identically by
+# Python re and DuckDB regexp_replace(..., 'g') — explicit ASCII classes
+# (RE2's \s is ASCII), no lookaround, no backrefs in patterns.
+NORMALIZE_RULES: tuple[tuple[str, str], ...] = (
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),   # control chars (keep \t\n\r)
+    ("[‘’‚‛]", "'"),          # curly single quotes
+    ("[“”„‟]", '"'),          # curly double quotes
+    ("[–—―]", "-"),                # en/em/horizontal dashes
+    (" ", " "),                              # no-break space
+    (r"[ \t]+", " "),                             # horizontal ws runs
+    (r" ?\r?\n ?", "\n"),                         # strip ws around newlines
+    (r"\n{3,}", "\n\n"),                          # >2 blank lines collapse
+    (r"^[ \n]+|[ \n]+$", ""),                     # trim
+)
+
+
+def normalize_text(ds: rd.Dataset) -> rd.Dataset:
+    """-> (doc_id, norm_text, n_chars_removed): the deterministic
+    normalization chain above, vectorized (pandas str.replace per rule);
+    ``n_chars_removed = len(text) - len(norm_text)``. Pure streaming map —
+    no shuffle; the DuckDB oracle nests the same regexp_replace chain."""
+    import re as _re
+    compiled = [(_re.compile(p), r) for p, r in NORMALIZE_RULES]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        norm = df["text"].fillna("")
+        orig_len = norm.str.len().astype("int64")
+        for pat, rep in compiled:
+            norm = norm.str.replace(pat, rep, regex=True)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "norm_text": norm,
+            "n_chars_removed": (orig_len
+                                - norm.str.len().astype("int64")),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 class LangIdStage:
     """Actor-pool language identifier (profiles compiled once per actor)."""
 

@@ -76,3 +76,22 @@ def test_lm_score_partitioning_invariant():
                                        vocab_size=4))
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_normalize_text_rules():
+    import ray.data as rd
+    from pero_ocr_ray.functions.textstats import normalize_text
+
+    rows = [
+        {"doc_id": 0, "text": "  a\x00b ’c“d” – e  \t f\n\n\n\ng "},
+        {"doc_id": 1, "text": "plain"},
+        {"doc_id": 2, "text": ""},
+    ]
+    out = (dataset_to_table(normalize_text(rd.from_items(rows)))
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[0, "norm_text"] == "ab 'c\"d\" - e f\n\ng"
+    assert out.loc[0, "n_chars_removed"] == (
+        len(rows[0]["text"]) - len(out.loc[0, "norm_text"]))
+    assert out.loc[1, "norm_text"] == "plain"
+    assert out.loc[1, "n_chars_removed"] == 0
+    assert out.loc[2, "norm_text"] == ""
