@@ -1259,6 +1259,34 @@ def _q_page_quality(sf_dir: str):
     return page_quality(_pages(sf_dir, "chunks"), concurrency=_query_pool())
 
 
+def _q_extract_links(sf_dir: str):
+    """Out-link extraction over the linked-template pages: one DOM walk
+    per page (kernels/links.py), first occurrence wins, fragments and
+    non-hierarchical schemes dropped. The oracle regenerates the
+    closed-form anchor set from doc_id."""
+    from pero_ocr_ray.functions.linkgraph import link_table
+    return link_table(_pages(sf_dir, "linked"))
+
+
+def _q_host_edges(sf_dir: str):
+    """Host-level weighted link edges: per-batch pandas partials + one
+    (src,dst) groupby Sum over the extracted link table."""
+    from pero_ocr_ray.functions.linkgraph import host_edges, link_table
+    return host_edges(link_table(_pages(sf_dir, "linked")))
+
+
+def _q_pagerank_hosts(sf_dir: str):
+    """5 exact integer fixed-point PageRank iterations over the host
+    graph (damping 85/100, micro-unit ranks, per-edge floor division) —
+    distributed == sequential == the oracle's unrolled-CTE replay
+    bit-for-bit because every operation is order-independent int64."""
+    from pero_ocr_ray.functions.linkgraph import (
+        host_edges, link_table, pagerank_hosts,
+    )
+    edges = host_edges(link_table(_pages(sf_dir, "linked")))
+    return pagerank_hosts(edges, n_iter=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_simple": _q_extract_simple,
@@ -1336,6 +1364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
         "merge_linewise": _q_merge_linewise,
+        "extract_links": _q_extract_links,
+        "host_edges": _q_host_edges,
+        "pagerank_hosts": _q_pagerank_hosts,
         "image_features": _q_image_features,
         "image_resize": _q_image_resize,
         "video_frame_samples": _q_video_frames,
@@ -1877,6 +1908,67 @@ _CONTAM_SQL = """
 """
 
 
+# linked-template out-links, regenerated in closed form from doc_id
+# (sources/pages.py template='linked'): link k <= 1 + doc_id%5 targets host
+# (doc_id*7+k)%97 at /p/{doc_id}-{k}; then one root-relative self link.
+# The duplicate / fragment / mailto anchors the template also emits are
+# dropped by the kernel and therefore absent here.
+_LINKS_SQL = f"""
+    WITH d AS (SELECT doc_id, 1 + doc_id % 5 AS n_out FROM documents),
+    links AS (
+        SELECT doc_id, CAST(k - 1 AS BIGINT) AS out_idx,
+               'https://site' || CAST((doc_id * 7 + k) % 97 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id AS VARCHAR)
+                   || '-' || CAST(k AS VARCHAR) AS href
+        FROM d CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS k) g
+        WHERE k <= n_out
+        UNION ALL
+        SELECT doc_id, CAST(n_out AS BIGINT),
+               'https://site' || CAST(doc_id % 97 AS VARCHAR)
+                   || '.example/p/self-' || CAST(doc_id AS VARCHAR)
+        FROM d)
+"""
+
+_HOST_EDGES_SQL = _LINKS_SQL + f"""
+    , edges AS (
+        SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example'
+                   AS src_host,
+               regexp_extract(href, '{{host_re}}', 1) AS dst_host,
+               CAST(count(*) AS BIGINT) AS weight
+        FROM links GROUP BY 1, 2)
+"""
+
+
+def _pagerank_sql(n_iter: int = 5) -> str:
+    """Unrolled-CTE replay of the exact integer PageRank iteration
+    (functions/linkgraph.py): r0 = 1e6 for every host in the edge set;
+    c_i = per-edge (r*w)//W summed per dst; r_i = 150000 + (85*S)//100.
+    Every step is int64 floor arithmetic, so SQL == Ray bit-for-bit."""
+    parts = [_HOST_EDGES_SQL.format(host_re=_HOST_RE_SQL)]
+    parts.append("""
+    , wt AS (SELECT src_host, CAST(SUM(weight) AS BIGINT) AS W
+             FROM edges GROUP BY src_host),
+    hosts AS (SELECT DISTINCT host FROM (
+        SELECT src_host AS host FROM edges
+        UNION SELECT dst_host FROM edges)),
+    r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM hosts)""")
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+    , c{i} AS (SELECT e.dst_host AS host,
+                      CAST(SUM((r.r * e.weight) // t.W) AS BIGINT) AS s
+               FROM edges e
+               JOIN r{i - 1} r ON r.host = e.src_host
+               JOIN wt t ON t.src_host = e.src_host
+               GROUP BY e.dst_host),
+    r{i} AS (SELECT h.host,
+                    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
+                        AS r
+             FROM hosts h LEFT JOIN c{i} c ON c.host = h.host)""")
+    parts.append(f"""
+    SELECT host, r AS rank_micro FROM r{n_iter}""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_simple": f"""
@@ -1931,6 +2023,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(lower(text), '{_STOPWORD_SQL}')) AS BIGINT) AS n_stopwords,
                    CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
             FROM documents""",
+        "extract_links": _LINKS_SQL + f"""
+            SELECT {_URL_SQL} AS src_url, out_idx, href FROM links""",
+        "host_edges": _HOST_EDGES_SQL.format(host_re=_HOST_RE_SQL) + """
+            SELECT src_host, dst_host, weight FROM edges""",
+        "pagerank_hosts": _pagerank_sql(5),
         "doc_content_hash": "SELECT doc_id, md5(text) AS content_hash FROM documents",
         "doc_lang_id": _lang_id_sql(),
         "training_corpus_stats": r"""

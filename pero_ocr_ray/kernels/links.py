@@ -1,0 +1,158 @@
+"""Anchor-extraction kernel: html text -> ordered out-link list.
+
+The crawl-frontier analog of the block walk in ``kernels/htmlparse.py``:
+the reference's layout engines locate regions a downstream stage consumes
+(/root/reference/pero_ocr/layout_engines/simple_region_engine.py:10-137);
+a web-scale crawl/link-graph pipeline needs the same single-pass DOM walk
+emitting ``<a href>`` targets instead of text blocks. Kept separate from
+``_BlockBuilder`` so link-only scans never pay block bookkeeping.
+
+Semantics (deterministic, shared with the sequential oracle replay):
+
+* anchors inside invisible subtrees (``script/style/template/noscript``)
+  are ignored, mirroring the visible-stream rule of the block kernel;
+* resolution is an explicit small-step ruleset (NOT ``urllib.parse`` —
+  its edge cases aren't replayable in SQL and differ across versions):
+  absolute ``scheme://...`` kept as-is; protocol-relative ``//h/p`` gets
+  the base scheme; root-relative ``/p`` gets the base origin; other
+  relative forms resolve against the base directory with ``.``/``..``
+  segment collapse; fragment-only and non-hierarchical schemes
+  (``mailto:``, ``javascript:``, ``data:``, ``tel:``...) are dropped;
+* the fragment part is always stripped;
+* first occurrence wins: the output lists each resolved target once, in
+  document order, with its ordinal.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from pero_ocr_ray.kernels.config import SKIP_TAGS
+
+# shared shape with functions/domains.HOST_RE_STR (ASCII classes, RE2-safe)
+_SCHEME_RE = re.compile(r"^([a-z][a-z0-9+.-]*):")
+_ORIGIN_RE = re.compile(r"^([a-z][a-z0-9+.-]*)://([^/?#]*)")
+
+
+def split_base(base_url: str) -> tuple[str, str, str]:
+    """base url -> (scheme, host, directory-path '/…/').
+
+    The directory path is everything from the first ``/`` after the host
+    up to and including the last ``/`` (query/fragment excluded); ``/``
+    when the base has no path."""
+    m = _ORIGIN_RE.match(base_url or "")
+    if not m:
+        return "", "", "/"
+    scheme, host = m.group(1), m.group(2)
+    rest = base_url[m.end():]
+    for stop in ("?", "#"):
+        cut = rest.find(stop)
+        if cut >= 0:
+            rest = rest[:cut]
+    slash = rest.rfind("/")
+    dir_path = rest[: slash + 1] if slash >= 0 else "/"
+    if not dir_path.startswith("/"):
+        dir_path = "/" + dir_path
+    return scheme, host, dir_path
+
+
+def _collapse_dots(path: str) -> str:
+    """RFC 3986 remove_dot_segments over an absolute path."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    # a trailing '.'/'..' keeps the directory form (trailing slash)
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    res = "/".join(out)
+    return res if res.startswith("/") else "/" + res
+
+
+def resolve_href(href: str, scheme: str, host: str, dir_path: str) -> str | None:
+    """One href -> absolute url without fragment, or None when dropped."""
+    if not href:
+        return None
+    href = href.strip()
+    cut = href.find("#")
+    if cut == 0:
+        return None  # fragment-only: same-document, not an out-link
+    if cut > 0:
+        href = href[:cut]
+    if not href:
+        return None
+    m = _SCHEME_RE.match(href)
+    if m:
+        if href.startswith(m.group(1) + "://"):
+            return href  # already absolute
+        return None  # mailto:, javascript:, data:, tel:, ... — not links
+    if not scheme or not host:
+        return None  # unparseable base: relative forms unresolvable
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href.startswith("?"):
+        # query-only: against the base DIRECTORY (the kernel keeps no base
+        # file name; documented approximation of RFC 3986 §5.3)
+        return f"{scheme}://{host}{dir_path}{href}"
+    # dot-collapse applies to the PATH only; the query rides along intact
+    path = href if href.startswith("/") else dir_path + href
+    qcut = path.find("?")
+    path, query = (path[:qcut], path[qcut:]) if qcut >= 0 else (path, "")
+    return f"{scheme}://{host}{_collapse_dots(path)}{query}"
+
+
+class _LinkWalker(HTMLParser):
+    """Single pass collecting resolved hrefs, first occurrence wins."""
+
+    def updatepos(self, i: int, j: int) -> int:  # line/col never queried
+        return j
+
+    def __init__(self, scheme: str, host: str, dir_path: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self._base = (scheme, host, dir_path)
+        self._skip_depth = 0
+        self._skip_stack: list[str] = []
+        self.links: list[str] = []
+        self._seen: set[str] = set()
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            self._skip_stack.append(tag)
+            return
+        if self._skip_depth > 0 or tag != "a":
+            return
+        href = next((v for k, v in attrs if k == "href"), None)
+        resolved = resolve_href(href or "", *self._base)
+        if resolved is not None and resolved not in self._seen:
+            self._seen.add(resolved)
+            self.links.append(resolved)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag in SKIP_TAGS:
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        # lenient: only the innermost open skip element's own close pops it
+        if self._skip_depth > 0 and self._skip_stack and \
+                self._skip_stack[-1] == tag:
+            self._skip_stack.pop()
+            self._skip_depth -= 1
+
+
+def extract_links(html_text: str, base_url: str) -> list[str]:
+    """html text -> resolved out-link urls, document order, deduped."""
+    walker = _LinkWalker(*split_base(base_url))
+    try:
+        walker.feed(html_text)
+        walker.close()
+    except Exception:
+        pass  # skip-and-continue: keep links collected so far
+    return walker.links

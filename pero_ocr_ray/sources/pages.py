@@ -240,7 +240,10 @@ def pages_from_documents(documents: pa.Table, template: str = "simple") -> pa.Ta
     for the correctness oracle. ``template='chunks'`` splits the text into
     10-token paragraphs, one ``<p>`` each — a MULTI-block page whose
     per-block features (and hence classifier scores / page quality) are
-    still SQL-expressible. ``template='cases'`` cycles the full case
+    still SQL-expressible. ``template='linked'`` adds a closed-form
+    ``<nav>`` of out-links ahead of the article so the link-graph
+    operators (``functions/linkgraph.py``) have SQL-regenerable edges.
+    ``template='cases'`` cycles the full case
     catalog, seeded per ``doc_id``: the html payload is synthetic case
     content (NOT the document text) sharing only the url/row_id keys — it
     exists to exercise merge/compare plumbing across two runs of the same
@@ -267,6 +270,26 @@ def pages_from_documents(documents: pa.Table, template: str = "simple") -> pa.Ta
             paras = [" ".join(toks[j:j + 10]) for j in range(0, len(toks), 10)]
             body = "".join(f"<p>{html_mod.escape(p)}</p>" for p in paras)
             doc = f"<html><body><article>{body}</article></body></html>"
+            htmls.append(doc.encode())
+        elif template == "linked":
+            # closed-form out-links so the SQL oracle regenerates them
+            # exactly: link k (1-based, k <= 1 + doc_id % 5) targets host
+            # (doc_id*7+k) % 97 at path /p/{doc_id}-{k}; then a
+            # root-relative self link (resolution), a duplicate of link 1
+            # (first-wins dedup) and fragment/mailto anchors (drop rules).
+            n_out = 1 + did % 5
+            anchors = [
+                f'<a href="https://site{(did * 7 + k) % 97}.example'
+                f'/p/{did}-{k}">l{k}</a>'
+                for k in range(1, n_out + 1)
+            ]
+            anchors.append(f'<a href="/p/self-{did}">self</a>')
+            anchors.append(anchors[0])
+            anchors.append('<a href="#top">top</a>')
+            anchors.append('<a href="mailto:x@example.com">mail</a>')
+            doc = (f"<html><body><nav>{' '.join(anchors)}</nav>"
+                   f"<article><p>{html_mod.escape(text)}</p></article>"
+                   f"</body></html>")
             htmls.append(doc.encode())
         else:
             rng = random.Random(777 + did)
