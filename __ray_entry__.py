@@ -1259,6 +1259,50 @@ def _q_page_quality(sf_dir: str):
     return page_quality(_pages(sf_dir, "chunks"), concurrency=_query_pool())
 
 
+def _snapshot_sides(sf_dir: str):
+    """Two closed-form crawl snapshots derived from documents: snapshot A
+    drops doc_id%11==0 (those urls are 'added' later), snapshot B drops
+    doc_id%13==0 ('removed') and bumps the text of doc_id%7==0
+    ('changed'). Both regenerable in SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    def side(df, drop_mod, bump):
+        df = df[df["doc_id"] % drop_mod != 0]
+        url = ("https://site" + (df["doc_id"] % 97).astype(str)
+               + ".example/d/" + df["doc_id"].astype(str))
+        text = (np.where(df["doc_id"] % 7 == 0, df["text"] + " v2",
+                         df["text"]) if bump else df["text"])
+        return pa.table({"url": pa.array(url, pa.string()),
+                         "text": pa.array(text, pa.string())})
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    old = (_read_pq(path, columns=["doc_id", "text"])
+           .map_batches(lambda df: side(df, 11, False),
+                        batch_format="pandas"))
+    new = (_read_pq(path, columns=["doc_id", "text"])
+           .map_batches(lambda df: side(df, 13, True),
+                        batch_format="pandas"))
+    return old, new
+
+
+def _q_snapshot_diff(sf_dir: str):
+    """Crawl snapshot reconciliation: per-url added/removed/changed/
+    unchanged status via content-hash compare, bucketed union+groupby
+    (the shuffle moves (url, md5) partials only)."""
+    from pero_ocr_ray.functions.crawldiff import snapshot_diff
+    old, new = _snapshot_sides(sf_dir)
+    return snapshot_diff(old, new)
+
+
+def _q_snapshot_diff_counts(sf_dir: str):
+    """Status roll-up of the snapshot diff (combiner partials + a tiny
+    groupby)."""
+    from pero_ocr_ray.functions.crawldiff import diff_counts, snapshot_diff
+    old, new = _snapshot_sides(sf_dir)
+    return diff_counts(snapshot_diff(old, new))
+
+
 def _q_extract_links(sf_dir: str):
     """Out-link extraction over the linked-template pages: one DOM walk
     per page (kernels/links.py), first occurrence wins, fragments and
@@ -1364,6 +1408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
         "merge_linewise": _q_merge_linewise,
+        "snapshot_diff": _q_snapshot_diff,
+        "snapshot_diff_counts": _q_snapshot_diff_counts,
         "extract_links": _q_extract_links,
         "host_edges": _q_host_edges,
         "pagerank_hosts": _q_pagerank_hosts,
@@ -1908,6 +1954,26 @@ _CONTAM_SQL = """
 """
 
 
+# two closed-form crawl snapshots (see _snapshot_sides): A drops
+# doc_id%11==0, B drops doc_id%13==0 and appends ' v2' to doc_id%7==0
+# texts; the diff is a FULL OUTER JOIN on url with md5-equality classes.
+_SNAPDIFF_SQL = f"""
+    WITH a AS (SELECT {_URL_SQL} AS url, md5(text) AS h
+               FROM documents WHERE doc_id % 11 <> 0),
+    b AS (SELECT {_URL_SQL} AS url,
+                 md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                          ELSE text END) AS h
+          FROM documents WHERE doc_id % 13 <> 0),
+    diff AS (
+        SELECT COALESCE(a.url, b.url) AS url,
+               CASE WHEN a.url IS NULL THEN 'added'
+                    WHEN b.url IS NULL THEN 'removed'
+                    WHEN a.h <> b.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON a.url = b.url)
+"""
+
+
 # linked-template out-links, regenerated in closed form from doc_id
 # (sources/pages.py template='linked'): link k <= 1 + doc_id%5 targets host
 # (doc_id*7+k)%97 at /p/{doc_id}-{k}; then one root-relative self link.
@@ -2023,6 +2089,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(lower(text), '{_STOPWORD_SQL}')) AS BIGINT) AS n_stopwords,
                    CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
             FROM documents""",
+        "snapshot_diff": _SNAPDIFF_SQL + """
+            SELECT url, status FROM diff""",
+        "snapshot_diff_counts": _SNAPDIFF_SQL + """
+            SELECT status, CAST(count(*) AS BIGINT) AS n_urls
+            FROM diff GROUP BY status""",
         "extract_links": _LINKS_SQL + f"""
             SELECT {_URL_SQL} AS src_url, out_idx, href FROM links""",
         "host_edges": _HOST_EDGES_SQL.format(host_re=_HOST_RE_SQL) + """
