@@ -1286,6 +1286,53 @@ def _snapshot_sides(sf_dir: str):
     return old, new
 
 
+def _dirty_urls(sf_dir: str):
+    """Deterministic dirty-url table: five closed-form mess variants
+    (upper-case authority, default ports, tracking params, duplicate
+    slashes, fragments) keyed by doc_id; host/path mods are small so
+    canonicalization creates real collision groups."""
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        urls = []
+        for d in ids:
+            h, p, v = d % 7, d % 10, d % 5
+            if v == 0:
+                u = f"https://site{h}.example/d/{p}"
+            elif v == 1:
+                u = (f"HTTPS://SITE{h}.EXAMPLE:443/d/{p}"
+                     f"?utm_source=feed&utm_medium=rss")
+            elif v == 2:
+                u = f"http://site{h}.example:80/d//{p}#sec"
+            elif v == 3:
+                u = f"https://site{h}.example/d/{p}?a=1&utm_campaign=x&b=2"
+            else:
+                u = f"https://site{h}.example/d/{p}?fbclid=c{d}"
+            urls.append(u)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string())})
+
+    return (_read_pq(os.path.join(sf_dir, "documents.parquet"),
+                     columns=["doc_id"])
+            .map_batches(fn, batch_format="pyarrow"))
+
+
+def _q_canonical_urls(sf_dir: str):
+    """URL canonicalization chain (kernels/urlnorm.py): lowercase
+    authority, default ports, fragments, tracking params, duplicate
+    slashes — one rule list drives both engines."""
+    from pero_ocr_ray.functions.domains import canonicalize_urls
+    return canonicalize_urls(_dirty_urls(sf_dir))
+
+
+def _q_canonical_dedup(sf_dir: str):
+    """Canonical-url dedup groups: combiner partials + one canonical-key
+    groupby (n_urls, min doc_id per canonical form)."""
+    from pero_ocr_ray.functions.domains import canonical_dedup_groups
+    return canonical_dedup_groups(_dirty_urls(sf_dir))
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Crawl snapshot reconciliation: per-url added/removed/changed/
     unchanged status via content-hash compare, bucketed union+groupby
@@ -1408,6 +1455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
         "merge_linewise": _q_merge_linewise,
+        "canonical_urls": _q_canonical_urls,
+        "canonical_dedup": _q_canonical_dedup,
         "snapshot_diff": _q_snapshot_diff,
         "snapshot_diff_counts": _q_snapshot_diff_counts,
         "extract_links": _q_extract_links,
@@ -1954,6 +2003,41 @@ _CONTAM_SQL = """
 """
 
 
+def _canon_url_sql_expr(col: str) -> str:
+    """The urlnorm chain as nested DuckDB regexp_replace — generated from
+    the SAME constants the kernel compiles (one source of truth)."""
+    from pero_ocr_ray.kernels.urlnorm import URL_PREFIX_STR, URL_RULES
+    pe = URL_PREFIX_STR.replace("'", "''")
+    expr = (f"CASE WHEN regexp_matches({col}, '{pe}') THEN "
+            f"lower(regexp_extract({col}, '{pe}', 1)) || "
+            f"regexp_replace({col}, '{pe}', '') ELSE {col} END")
+    for p, r in URL_RULES:
+        p2, r2 = p.replace("'", "''"), r.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p2}', '{r2}', 'g')"
+    return expr
+
+
+# the dirty-url closed form of _dirty_urls, verbatim in SQL
+_DIRTY_URL_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example/d/' || CAST(doc_id % 10 AS VARCHAR)
+      WHEN 1 THEN 'HTTPS://SITE' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.EXAMPLE:443/d/' || CAST(doc_id % 10 AS VARCHAR)
+                  || '?utm_source=feed&utm_medium=rss'
+      WHEN 2 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example:80/d//' || CAST(doc_id % 10 AS VARCHAR)
+                  || '#sec'
+      WHEN 3 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example/d/' || CAST(doc_id % 10 AS VARCHAR)
+                  || '?a=1&utm_campaign=x&b=2'
+      ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example/d/' || CAST(doc_id % 10 AS VARCHAR)
+           || '?fbclid=c' || CAST(doc_id AS VARCHAR)
+    END
+"""
+
+
 # two closed-form crawl snapshots (see _snapshot_sides): A drops
 # doc_id%11==0, B drops doc_id%13==0 and appends ' v2' to doc_id%7==0
 # texts; the diff is a FULL OUTER JOIN on url with md5-equality classes.
@@ -2089,6 +2173,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(lower(text), '{_STOPWORD_SQL}')) AS BIGINT) AS n_stopwords,
                    CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
             FROM documents""",
+        "canonical_urls": f"""
+            WITH u AS (SELECT doc_id, {_DIRTY_URL_SQL} AS url
+                       FROM documents)
+            SELECT doc_id, url,
+                   {_canon_url_sql_expr('url')} AS canon_url
+            FROM u""",
+        "canonical_dedup": f"""
+            WITH u AS (SELECT doc_id, {_DIRTY_URL_SQL} AS url
+                       FROM documents)
+            SELECT {_canon_url_sql_expr('url')} AS canon_url,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(min(doc_id) AS BIGINT) AS min_id
+            FROM u GROUP BY 1""",
         "snapshot_diff": _SNAPDIFF_SQL + """
             SELECT url, status FROM diff""",
         "snapshot_diff_counts": _SNAPDIFF_SQL + """

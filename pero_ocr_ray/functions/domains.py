@@ -51,6 +51,59 @@ def domain_counts(ds: rd.Dataset, url_col: str = "url") -> rd.Dataset:
         batch_format="pandas")
 
 
+def canonicalize_urls(ds: rd.Dataset, url_col: str = "url",
+                      out_col: str = "canon_url") -> rd.Dataset:
+    """Append the canonical form of ``url_col`` (kernels/urlnorm.py chain,
+    vectorized: one pandas str.replace pass per rule). Pure streaming map;
+    the SQL oracle nests the SAME prefix rule + rule list."""
+    import numpy as np
+
+    from pero_ocr_ray.kernels.urlnorm import (
+        URL_PREFIX_RE, URL_PREFIX_STR, URL_RULES,
+    )
+    compiled = [(re.compile(p), r) for p, r in URL_RULES]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[url_col].fillna("")
+        pref = u.str.extract(URL_PREFIX_STR, expand=False)
+        rest = u.str.replace(URL_PREFIX_RE, "", regex=True)
+        canon = pd.Series(
+            np.where(pref.notna(), pref.str.lower().fillna("") + rest, u),
+            index=df.index)
+        for pat, rep in compiled:
+            canon = canon.str.replace(pat, rep, regex=True)
+        out = df.copy()
+        out[out_col] = canon
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def canonical_dedup_groups(ds: rd.Dataset, url_col: str = "url",
+                           id_col: str = "doc_id") -> rd.Dataset:
+    """-> (canon_url, n_urls, min_id): how many raw urls collapse onto
+    each canonical form, and the smallest id that carries it. Combiner
+    partials (per-batch groupby) + one tiny canonical-key groupby — the
+    exact-dedup shape that stays safe on a hot canonical target."""
+    from ray.data.aggregate import Min, Sum
+
+    canon = canonicalize_urls(ds, url_col=url_col)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("canon_url", as_index=False)
+             .agg(n_partial=(id_col, "size"), min_partial=(id_col, "min")))
+        return g
+
+    agg = (canon.map_batches(partial, batch_format="pandas")
+           .groupby("canon_url")
+           .aggregate(Sum("n_partial", alias_name="n_urls"),
+                      Min("min_partial", alias_name="min_id")))
+    return agg.repartition(2).map_batches(
+        lambda df: df.assign(n_urls=df["n_urls"].astype("int64"),
+                             min_id=df["min_id"].astype("int64")),
+        batch_format="pandas")
+
+
 def cap_per_domain(ds: rd.Dataset, cap: int, url_col: str = "url",
                    id_col: str = "doc_id") -> rd.Dataset:
     """Keep at most ``cap`` rows per host — the smallest ``id_col`` values
