@@ -1318,6 +1318,16 @@ def _dirty_urls(sf_dir: str):
             .map_batches(fn, batch_format="pyarrow"))
 
 
+def _q_global_shuffle(sf_dir: str):
+    """Seeded deterministic global shuffle: corpus-wide position by
+    md5-keyed sort + the two-pass block-offset scan (budget.py pattern);
+    oracle = row_number() over the same (md5, doc_id) order."""
+    from pero_ocr_ray.functions.shuffle import global_shuffle_positions
+    docs = _read_pq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id"])
+    return global_shuffle_positions(docs, seed=42)
+
+
 def _q_canonical_urls(sf_dir: str):
     """URL canonicalization chain (kernels/urlnorm.py): lowercase
     authority, default ports, fragments, tracking params, duplicate
@@ -1455,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
         "merge_linewise": _q_merge_linewise,
+        "global_shuffle": _q_global_shuffle,
         "canonical_urls": _q_canonical_urls,
         "canonical_dedup": _q_canonical_dedup,
         "snapshot_diff": _q_snapshot_diff,
@@ -2172,6 +2183,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
                    CAST(length(regexp_extract_all(lower(text), '{_STOPWORD_SQL}')) AS BIGINT) AS n_stopwords,
                    CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+            FROM documents""",
+        "global_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5('shuffle42:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) - 1 AS BIGINT) AS pos
             FROM documents""",
         "canonical_urls": f"""
             WITH u AS (SELECT doc_id, {_DIRTY_URL_SQL} AS url
