@@ -1318,6 +1318,15 @@ def _dirty_urls(sf_dir: str):
             .map_batches(fn, batch_format="pyarrow"))
 
 
+def _q_perplexity_buckets(sf_dir: str):
+    """CCNet head/middle/tail terciles per language by unigram-LM score:
+    broadcast-LM zero-shuffle scoring, then the frozen-blocking rank scan
+    with the NTILE(3) formula — SQL mirror is literal NTILE(3)."""
+    from pero_ocr_ray.functions.ccnet import perplexity_buckets
+    return perplexity_buckets(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                              vocab_size=4096)
+
+
 def _q_global_shuffle(sf_dir: str):
     """Seeded deterministic global shuffle: corpus-wide position by
     md5-keyed sort + the two-pass block-offset scan (budget.py pattern);
@@ -1465,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
         "merge_linewise": _q_merge_linewise,
+        "perplexity_buckets": _q_perplexity_buckets,
         "global_shuffle": _q_global_shuffle,
         "canonical_urls": _q_canonical_urls,
         "canonical_dedup": _q_canonical_dedup,
@@ -2014,6 +2024,36 @@ _CONTAM_SQL = """
 """
 
 
+# the bounded top-4096 unigram LM scoring replay (tfidf.doc_lm_score):
+# per-token micro-nat quantization BEFORE summation keeps both engines
+# order-exact; ends with lm(doc_id, n_tokens, lm_score_e6).
+_LM_SCORE_CTE = """
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_extract_all(lower(text),
+                                                  '[a-z0-9]+')) AS token
+                 FROM documents),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) + 4097.0 AS tp FROM cnt),
+    voc AS (SELECT token, n FROM
+              (SELECT token, n, row_number() OVER
+                 (ORDER BY n DESC, token) AS rk FROM cnt)
+            WHERE rk <= 4096),
+    sc AS (SELECT token,
+                  CAST(floor(ln((n + 1) / (SELECT tp FROM tot))
+                             * 1e6) AS BIGINT) AS s_e6 FROM voc),
+    scored AS (SELECT t.doc_id,
+                      coalesce(sc.s_e6,
+                               CAST(floor(ln(1.0 / (SELECT tp FROM tot))
+                                          * 1e6) AS BIGINT)) AS s_e6
+               FROM tok t LEFT JOIN sc USING (token)),
+    lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(floor(CAST(sum(s_e6) AS DOUBLE) / count(*))
+                       AS BIGINT) AS lm_score_e6
+           FROM scored GROUP BY doc_id)
+"""
+
+
 def _canon_url_sql_expr(col: str) -> str:
     """The urlnorm chain as nested DuckDB regexp_replace — generated from
     the SAME constants the kernel compiles (one source of truth)."""
@@ -2405,30 +2445,17 @@ def oracle_sql() -> dict[str, str]:
         # add-one smoothing over T + V + 1; every per-token log-prob is
         # quantized to int64 micro-nats BEFORE summation (exact integer
         # sums on both engines — no float-order divergence).
-        "doc_lm_score": """
-            WITH tok AS (SELECT doc_id,
-                                unnest(regexp_extract_all(lower(text),
-                                                          '[a-z0-9]+')) AS token
-                         FROM documents),
-            cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n
-                    FROM tok GROUP BY token),
-            tot AS (SELECT CAST(sum(n) AS DOUBLE) + 4097.0 AS tp FROM cnt),
-            voc AS (SELECT token, n FROM
-                      (SELECT token, n, row_number() OVER
-                         (ORDER BY n DESC, token) AS rk FROM cnt)
-                    WHERE rk <= 4096),
-            sc AS (SELECT token,
-                          CAST(floor(ln((n + 1) / (SELECT tp FROM tot))
-                                     * 1e6) AS BIGINT) AS s_e6 FROM voc),
-            scored AS (SELECT t.doc_id,
-                              coalesce(sc.s_e6,
-                                       CAST(floor(ln(1.0 / (SELECT tp FROM tot))
-                                                  * 1e6) AS BIGINT)) AS s_e6
-                       FROM tok t LEFT JOIN sc USING (token))
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                   CAST(floor(CAST(sum(s_e6) AS DOUBLE) / count(*))
-                        AS BIGINT) AS lm_score_e6
-            FROM scored GROUP BY doc_id""",
+        "doc_lm_score": _LM_SCORE_CTE + """
+            SELECT doc_id, n_tokens, lm_score_e6 FROM lm""",
+        "perplexity_buckets": _LM_SCORE_CTE + """
+            , wl AS (SELECT lm.doc_id, d.lang, lm.lm_score_e6
+                     FROM lm JOIN documents d USING (doc_id))
+            SELECT doc_id, lang, lm_score_e6,
+                   CASE NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY lm_score_e6 DESC, doc_id)
+                        WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM wl""",
         "token_budget_cut": r"""
             WITH f AS (SELECT doc_id, lang,
                               CAST(length(regexp_extract_all(text, '\S+'))

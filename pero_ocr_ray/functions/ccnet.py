@@ -1,0 +1,107 @@
+"""CCNet-style perplexity bucketing: head / middle / tail per language.
+
+CCNet (Wenzek et al., arXiv:1911.00359) splits each language's crawl by
+language-model perplexity terciles and trains preferentially on the
+"head". This operator reproduces that split exactly and deterministically:
+
+1. score every document with the bounded unigram LM
+   (``tfidf.doc_lm_score`` — broadcast score table, zero-shuffle pass),
+   carrying ``lang`` so no doc_id join is needed;
+2. rank documents inside each language by ``(lm_score_e6 DESC, doc_id)``
+   — higher mean log-prob = lower perplexity = head;
+3. bucket by the NTILE(3) rank formula ``((r-1)*3)//n`` so the split
+   matches SQL NTILE tie-for-tie.
+
+The per-language rank is a global order statistic, computed with the
+two-pass frozen-blocking scan (``functions/budget.py``): sort
+``(lang, -score, doc_id)`` range-partitions each language across blocks
+(no language ever sits in one worker), pass 1 ships one summary row per
+lang-run per block to the driver, pass 2 adds broadcast prior-count
+offsets to block-local arange. Language totals are |langs| numbers —
+driver-safe at any corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from pero_ocr_ray.functions.budget import _runs
+
+_BUCKETS = np.array(["head", "middle", "tail"], dtype=object)
+
+
+def perplexity_buckets(docs: rd.Dataset,
+                       vocab_size: int = 4096) -> rd.Dataset:
+    """documents (doc_id, text, lang) ->
+    (doc_id, lang, lm_score_e6, bucket)."""
+    from pero_ocr_ray.functions.tfidf import doc_lm_score
+
+    scores = doc_lm_score(docs, vocab_size=vocab_size,
+                          carry_cols=("lang",))
+
+    def neg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "lm_score_e6": t.column("lm_score_e6"),
+            "__neg": pc.negate_checked(t.column("lm_score_e6")),
+        })
+
+    sorted_ds = (scores.map_batches(neg, batch_format="pyarrow")
+                 .sort(["lang", "__neg", "doc_id"]).materialize())
+
+    def run_summaries(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        negs = t.column("__neg").to_numpy(zero_copy_only=False)
+        ls, fn, fs, ns = [], [], [], []
+        for a, b in _runs(langs):
+            ls.append(langs[a])
+            fn.append(int(negs[a]))
+            fs.append(int(ids[a]))
+            ns.append(int(b - a))
+        return pa.table({"lang": pa.array(ls, pa.string()),
+                         "first_neg": pa.array(fn, pa.int64()),
+                         "first_doc_id": pa.array(fs, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    # runs order within a lang by their first (neg, doc_id) — the actual
+    # sort key (NOT first_doc_id alone: a better-scoring run can start at
+    # a larger doc_id). Offsets stay keyed by (lang, first_doc_id), which
+    # is unique because doc_id is.
+    summ = (sorted_ds.map_batches(run_summaries, batch_format="pyarrow",
+                                  batch_size=None)
+            .to_pandas()  # <= blocks x langs rows: scan metadata
+            .sort_values(["lang", "first_neg", "first_doc_id"],
+                         ignore_index=True))
+    prior = (summ.groupby("lang", sort=False)["n"].cumsum() - summ["n"])
+    totals = summ.groupby("lang")["n"].sum().to_dict()
+    offsets = {(l, int(f)): int(p) for l, f, p in
+               zip(summ["lang"], summ["first_doc_id"], prior)}
+    ref = ray.put((offsets, totals))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        offs, tot = ray.get(ref)
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lab = np.empty(len(langs), dtype=object)
+        for a, b in _runs(langs):
+            lang = langs[a]
+            r0 = offs[(lang, int(ids[a]))]  # 0-based rank of the run head
+            ranks = r0 + np.arange(b - a, dtype=np.int64)
+            lab[a:b] = _BUCKETS[(ranks * 3) // tot[lang]]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "lm_score_e6": t.column("lm_score_e6"),
+            "bucket": pa.array(lab, pa.string()),
+        })
+
+    return sorted_ds.map_batches(bucket, batch_format="pyarrow",
+                                 batch_size=None)

@@ -164,10 +164,13 @@ def train_unigram_lm(docs: rd.Dataset, vocab_size: int = 4096
     return table, oov_e6
 
 
-def doc_lm_score(docs: rd.Dataset, vocab_size: int = 4096) -> rd.Dataset:
-    """-> (doc_id, n_tokens, lm_score_e6): mean unigram log-probability in
-    micro-nats per document (higher = more in-distribution; the CCNet
-    quality-bucket signal). Token-less documents are omitted.
+def doc_lm_score(docs: rd.Dataset, vocab_size: int = 4096,
+                 carry_cols: tuple[str, ...] = ()) -> rd.Dataset:
+    """-> (doc_id, n_tokens, lm_score_e6[, *carry_cols]): mean unigram
+    log-probability in micro-nats per document (higher = more
+    in-distribution; the CCNet quality-bucket signal). Token-less
+    documents are omitted. ``carry_cols`` ride along unchanged (one value
+    per doc row) so downstream consumers avoid a doc_id join.
 
     ``lm_score_e6 = floor(sum(per-token score_e6) / n_tokens)`` — the sum
     is over int64 quantized scores, so it is exact and order-independent.
@@ -186,10 +189,13 @@ def doc_lm_score(docs: rd.Dataset, vocab_size: int = 4096) -> rd.Dataset:
                 "doc_id": df["doc_id"].astype("int64").to_numpy(),
                 "token": toks.to_numpy(dtype=object),
             }).explode("token", ignore_index=True).dropna(subset=["token"])
+            base = {"doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "lm_score_e6": pa.array([], pa.int64())}
             if len(ex) == 0:
-                return pa.table({"doc_id": pa.array([], pa.int64()),
-                                 "n_tokens": pa.array([], pa.int64()),
-                                 "lm_score_e6": pa.array([], pa.int64())})
+                for c in carry_cols:
+                    base[c] = pa.array([], pa.string())
+                return pa.table(base)
             s = (ex["token"].map(self.table).fillna(self.oov)
                  .astype("int64"))
             g = (pd.DataFrame({"doc_id": ex["doc_id"], "s": s})
@@ -198,13 +204,21 @@ def doc_lm_score(docs: rd.Dataset, vocab_size: int = 4096) -> rd.Dataset:
             score = np.floor(g["total"].to_numpy("float64")
                              / g["n_tokens"].to_numpy("float64")
                              ).astype("int64")
-            return pa.table({
+            out = {
                 "doc_id": pa.array(g["doc_id"].to_numpy("int64"),
                                    pa.int64()),
                 "n_tokens": pa.array(g["n_tokens"].to_numpy("int64"),
                                      pa.int64()),
                 "lm_score_e6": pa.array(score, pa.int64()),
-            })
+            }
+            if carry_cols:
+                side = (df.assign(doc_id=df["doc_id"].astype("int64"))
+                        [["doc_id", *carry_cols]]
+                        .drop_duplicates("doc_id"))
+                m = g[["doc_id"]].merge(side, on="doc_id")
+                for c in carry_cols:
+                    out[c] = pa.array(m[c], pa.string())
+            return pa.table(out)
 
     return docs.map_batches(ScoreStage, batch_format="pandas",
                             concurrency=2)
