@@ -1318,6 +1318,15 @@ def _dirty_urls(sf_dir: str):
             .map_batches(fn, batch_format="pyarrow"))
 
 
+def _q_dup_window_stats(sf_dir: str):
+    """Exact duplicated-window detection (fixed-width ExactSubstr
+    variant, arXiv:2107.06499): per-doc counts of 8-token windows whose
+    exact text recurs anywhere in the corpus. All shuffles move digests
+    and partials."""
+    from pero_ocr_ray.functions.spandedup import dup_window_stats
+    return dup_window_stats(_docs(sf_dir), w=8)
+
+
 def _q_perplexity_buckets(sf_dir: str):
     """CCNet head/middle/tail terciles per language by unigram-LM score:
     broadcast-LM zero-shuffle scoring, then the frozen-blocking rank scan
@@ -1474,6 +1483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
         "merge_linewise": _q_merge_linewise,
+        "dup_window_stats": _q_dup_window_stats,
         "perplexity_buckets": _q_perplexity_buckets,
         "global_shuffle": _q_global_shuffle,
         "canonical_urls": _q_canonical_urls,
@@ -2447,6 +2457,25 @@ def oracle_sql() -> dict[str, str]:
         # sums on both engines — no float-order divergence).
         "doc_lm_score": _LM_SCORE_CTE + """
             SELECT doc_id, n_tokens, lm_score_e6 FROM lm""",
+        "dup_window_stats": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+') AS toks
+                       FROM documents),
+            win AS (SELECT doc_id,
+                           substr(md5(array_to_string(toks[k:k+7], ' ')),
+                                  1, 16) AS whash
+                    FROM t CROSS JOIN
+                         (SELECT unnest(generate_series(1,
+                              (SELECT max(len(toks)) FROM t))) AS k) g
+                    WHERE k <= len(toks) - 7),
+            cnt AS (SELECT whash, count(*) AS n FROM win GROUP BY whash)
+            SELECT w.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_windows
+            FROM win w JOIN cnt c USING (whash)
+            GROUP BY w.doc_id""",
         "perplexity_buckets": _LM_SCORE_CTE + """
             , wl AS (SELECT lm.doc_id, d.lang, lm.lm_score_e6
                      FROM lm JOIN documents d USING (doc_id))
