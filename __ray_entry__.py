@@ -1318,6 +1318,14 @@ def _dirty_urls(sf_dir: str):
             .map_batches(fn, batch_format="pyarrow"))
 
 
+def _q_training_corpus_v4(sf_dir: str):
+    """The round-4 stream-ordering chain: exact dedup -> duplicated-window
+    filter (keep-ids semi-join) -> CCNet buckets minus tail -> seeded
+    global shuffle order — one whole-chain SQL oracle."""
+    from pero_ocr_ray.pipelines.training_data import curate_v4
+    return curate_v4(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
 def _q_dup_window_stats(sf_dir: str):
     """Exact duplicated-window detection (fixed-width ExactSubstr
     variant, arXiv:2107.06499): per-doc counts of 8-token windows whose
@@ -1483,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
         "merge_linewise": _q_merge_linewise,
+        "training_corpus_v4": _q_training_corpus_v4,
         "dup_window_stats": _q_dup_window_stats,
         "perplexity_buckets": _q_perplexity_buckets,
         "global_shuffle": _q_global_shuffle,
@@ -2034,14 +2043,17 @@ _CONTAM_SQL = """
 """
 
 
-# the bounded top-4096 unigram LM scoring replay (tfidf.doc_lm_score):
-# per-token micro-nat quantization BEFORE summation keeps both engines
-# order-exact; ends with lm(doc_id, n_tokens, lm_score_e6).
-_LM_SCORE_CTE = """
-    WITH tok AS (SELECT doc_id,
-                        unnest(regexp_extract_all(lower(text),
-                                                  '[a-z0-9]+')) AS token
-                 FROM documents),
+def _lm_body(src: str) -> str:
+    """The bounded top-4096 unigram LM scoring replay
+    (tfidf.doc_lm_score) as a CTE body (no WITH) trained and scored over
+    ``src(doc_id, text)``; per-token micro-nat quantization BEFORE
+    summation keeps both engines order-exact; ends with
+    lm(doc_id, n_tokens, lm_score_e6)."""
+    return f"""
+    tok AS (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text),
+                                             '[a-z0-9]+')) AS token
+            FROM {src}),
     cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n
             FROM tok GROUP BY token),
     tot AS (SELECT CAST(sum(n) AS DOUBLE) + 4097.0 AS tp FROM cnt),
@@ -2062,6 +2074,9 @@ _LM_SCORE_CTE = """
                        AS BIGINT) AS lm_score_e6
            FROM scored GROUP BY doc_id)
 """
+
+
+_LM_SCORE_CTE = "WITH " + _lm_body("documents")
 
 
 def _canon_url_sql_expr(col: str) -> str:
@@ -2457,6 +2472,45 @@ def oracle_sql() -> dict[str, str]:
         # sums on both engines — no float-order divergence).
         "doc_lm_score": _LM_SCORE_CTE + """
             SELECT doc_id, n_tokens, lm_score_e6 FROM lm""",
+        "training_corpus_v4": f"""
+            WITH surv0 AS (SELECT min(doc_id) AS doc_id
+                           FROM documents GROUP BY text),
+            kept0 AS (SELECT d.doc_id, d.text, d.lang
+                      FROM documents d JOIN surv0 USING (doc_id)),
+            wt AS (SELECT doc_id,
+                          regexp_extract_all(lower(text),
+                                             '[a-z0-9]+') AS toks
+                   FROM kept0),
+            win AS (SELECT doc_id,
+                           substr(md5(array_to_string(toks[k:k+7], ' ')),
+                                  1, 16) AS whash
+                    FROM wt CROSS JOIN
+                         (SELECT unnest(generate_series(1,
+                              (SELECT max(len(toks)) FROM wt))) AS k) g
+                    WHERE k <= len(toks) - 7),
+            wcnt AS (SELECT whash, count(*) AS n FROM win GROUP BY whash),
+            wstat AS (SELECT w.doc_id, count(*) AS n_win,
+                             sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)
+                                 AS n_dup
+                      FROM win w JOIN wcnt c USING (whash)
+                      GROUP BY w.doc_id),
+            kept AS (SELECT k.* FROM kept0 k
+                     LEFT JOIN wstat s USING (doc_id)
+                     WHERE s.doc_id IS NULL OR 2 * s.n_dup <= s.n_win),
+            {_lm_body('kept')},
+            wl AS (SELECT lm.doc_id, k.lang, lm.lm_score_e6
+                   FROM lm JOIN kept k USING (doc_id)),
+            pb AS (SELECT doc_id, lang, lm_score_e6,
+                          CASE NTILE(3) OVER (PARTITION BY lang
+                                   ORDER BY lm_score_e6 DESC, doc_id)
+                               WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                               ELSE 'tail' END AS bucket
+                   FROM wl)
+            SELECT doc_id, lang, lm_score_e6, bucket,
+                   CAST(row_number() OVER (
+                       ORDER BY md5('shuffle42:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) - 1 AS BIGINT) AS pos
+            FROM pb WHERE bucket <> 'tail'""",
         "dup_window_stats": """
             WITH t AS (SELECT doc_id,
                               regexp_extract_all(lower(text),

@@ -77,9 +77,14 @@ def perplexity_buckets(docs: rd.Dataset,
     # is unique because doc_id is.
     summ = (sorted_ds.map_batches(run_summaries, batch_format="pyarrow",
                                   batch_size=None)
-            .to_pandas()  # <= blocks x langs rows: scan metadata
-            .sort_values(["lang", "first_neg", "first_doc_id"],
-                         ignore_index=True))
+            .to_pandas())  # <= blocks x langs rows: scan metadata
+    if len(summ) == 0:  # empty corpus (e.g. everything filtered upstream)
+        empty = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                           ("lm_score_e6", pa.int64()),
+                           ("bucket", pa.string())])
+        return rd.from_arrow(empty.empty_table())
+    summ = summ.sort_values(["lang", "first_neg", "first_doc_id"],
+                            ignore_index=True)
     prior = (summ.groupby("lang", sort=False)["n"].cumsum() - summ["n"])
     totals = summ.groupby("lang")["n"].sum().to_dict()
     offsets = {(l, int(f)): int(p) for l, f, p in

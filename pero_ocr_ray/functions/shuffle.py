@@ -27,17 +27,15 @@ import ray.data as rd
 
 def global_shuffle_positions(docs: rd.Dataset, seed: int = 42,
                              id_col: str = "doc_id") -> rd.Dataset:
-    """-> (doc_id, pos): pos is the row's 0-based rank in the seeded
-    pseudo-random total order over the whole corpus."""
+    """-> input columns + ``pos``: the row's 0-based rank in the seeded
+    pseudo-random total order over the whole corpus. Payload columns ride
+    through the sort unchanged, so composing pipelines need no post-join."""
 
     def key(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
         ks = [hashlib.md5(f"shuffle{seed}:{i}".encode()).hexdigest()
               for i in ids]
-        return pa.table({
-            id_col: pa.array(ids, pa.int64()),
-            "__k": pa.array(ks, pa.string()),
-        })
+        return t.append_column("__k", pa.array(ks, pa.string()))
 
     sorted_ds = (docs.map_batches(key, batch_format="pyarrow")
                  .sort(["__k", id_col]).materialize())
@@ -55,8 +53,13 @@ def global_shuffle_positions(docs: rd.Dataset, seed: int = 42,
 
     summ = (sorted_ds.map_batches(block_summary, batch_format="pyarrow",
                                   batch_size=None)
-            .to_pandas()  # one row per block: scan metadata, tiny
-            .sort_values(["first_k", "first_id"], ignore_index=True))
+            .to_pandas())  # one row per block: scan metadata, tiny
+    if len(summ) == 0:  # empty corpus: empty blocks skip the summary UDF
+        names = docs.schema().names if docs.schema() else [id_col]
+        empty = pa.schema([(c, pa.int64()) for c in names]
+                          + [("pos", pa.int64())])
+        return rd.from_arrow(empty.empty_table())
+    summ = summ.sort_values(["first_k", "first_id"], ignore_index=True)
     prior = summ["n"].cumsum() - summ["n"]
     offsets = {(k, int(i)): int(p) for k, i, p in
                zip(summ["first_k"], summ["first_id"], prior)}
@@ -66,11 +69,9 @@ def global_shuffle_positions(docs: rd.Dataset, seed: int = 42,
         offs = ray.get(ref)
         base = offs[(t.column("__k")[0].as_py(),
                      int(t.column(id_col)[0].as_py()))]
-        return pa.table({
-            id_col: t.column(id_col),
-            "pos": pa.array(base + np.arange(t.num_rows, dtype=np.int64),
-                            pa.int64()),
-        })
+        return t.drop_columns(["__k"]).append_column(
+            "pos", pa.array(base + np.arange(t.num_rows, dtype=np.int64),
+                            pa.int64()))
 
     return sorted_ds.map_batches(pos, batch_format="pyarrow",
                                  batch_size=None)

@@ -63,9 +63,15 @@ def _window_rows(docs: rd.Dataset, w: int,
 
 
 def dup_window_stats(docs: rd.Dataset, w: int = 8,
-                     num_buckets: int = 1024) -> rd.Dataset:
+                     num_buckets: int = 1024,
+                     include_empty: bool = False) -> rd.Dataset:
     """-> (doc_id, n_windows, n_dup_windows): per document, how many of
-    its w-token windows recur (exact text) anywhere in the corpus."""
+    its w-token windows recur (exact text) anywhere in the corpus.
+
+    ``include_empty=True`` also emits (doc_id, 0, 0) for documents shorter
+    than ``w`` tokens (zero partials unioned into the final Sum) — so a
+    downstream keep-filter covers EVERY doc and its id set is never
+    sparse (the composition-safe semi-join shape)."""
     windows = _window_rows(docs, w, num_buckets).materialize()
 
     def count_partial(t: pa.Table) -> pa.Table:
@@ -113,6 +119,19 @@ def dup_window_stats(docs: rd.Dataset, w: int = 8,
 
     parts = (windows.union(dup)
              .groupby("__b").map_groups(mark, batch_format="pandas"))
+
+    if include_empty:
+        def zeros(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            n = t.num_rows
+            return pa.table({
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_win": pa.array([0] * n, pa.int64()),
+                "n_dup": pa.array([0] * n, pa.int64()),
+            })
+        parts = parts.union(
+            docs.select_columns(["doc_id"])
+                .map_batches(zeros, batch_format="pyarrow"))
 
     agg = (parts.groupby("doc_id")
            .aggregate(Sum("n_win", alias_name="n_windows"),

@@ -146,7 +146,7 @@ def train_unigram_lm(docs: rd.Dataset, vocab_size: int = 4096
     The vocabulary cut runs as a distributed top-k (batch-local head +
     one tiny final); only ``vocab_size`` rows ever reach the driver."""
     counts = _token_counts(docs)
-    total = counts.sum("n")
+    total = counts.sum("n") or 0  # None on an empty/token-less corpus
     t_plus = float(total) + float(vocab_size) + 1.0
 
     def local_top(df: pd.DataFrame) -> pd.DataFrame:

@@ -203,6 +203,58 @@ def curate_v3(pdocs: rd.Dataset, lang_ds: rd.Dataset,
     return with_lang.map_batches(quality_filter, batch_format="pandas")
 
 
+def curate_v4(documents: rd.Dataset,
+              vocab_size: int = 4096) -> rd.Dataset:
+    """The round-4 "order the training stream" chain — every stage a
+    round-4 operator, composed into one run:
+
+        exact dedup (combiner groups + semi-join)               # shuffle 1
+        -> duplicated-window filter: drop docs where more than  # digest
+           half the 8-token windows recur in the corpus           shuffles
+           (window-less short docs carry no evidence: kept)
+        -> CCNet perplexity buckets per lang, drop the 'tail'   # LM + scan
+        -> deterministic global shuffle order (seeded md5 rank) # sort scan
+
+    -> (doc_id, lang, lm_score_e6, bucket, pos)."""
+    import pyarrow.compute as pc
+
+    from pero_ocr_ray.functions.ccnet import perplexity_buckets
+    from pero_ocr_ray.functions.join import hash_join
+    from pero_ocr_ray.functions.shuffle import global_shuffle_positions
+    from pero_ocr_ray.functions.spandedup import dup_window_stats
+
+    # phase checkpoint (CLAUDE.md composition gotcha): survivors feed both
+    # the window-stats chain and the semi-join left side
+    survivors = exact_dedup(documents).repartition(8).materialize()
+
+    # keep-ids SEMI-join, not a drop-ids anti-join: with include_empty the
+    # keep set covers every surviving doc (dense, never empty), which is
+    # the composition-safe shape — a drop side is usually tiny/empty and
+    # starves hash partitions (CLAUDE.md join gotcha)
+    def keep_only(t):
+        mask = pc.less_equal(pc.multiply(t.column("n_dup_windows"), 2),
+                             t.column("n_windows"))
+        import pyarrow as pa
+        return pa.table({"keep_id": t.filter(mask).column("doc_id")})
+
+    import pyarrow as pa
+    sentinel = rd.from_arrow(pa.table({"keep_id": pa.array([-1],
+                                                           pa.int64())}))
+    # the sentinel keeps the join's right side non-empty even when the
+    # window filter drops every doc (degenerate all-boilerplate corpus);
+    # -1 never matches a doc_id
+    keep_ids = (dup_window_stats(survivors, w=8, include_empty=True)
+                .map_batches(keep_only, batch_format="pyarrow")
+                .union(sentinel)
+                .repartition(8))
+    kept = hash_join(survivors, keep_ids, on="doc_id", right_on="keep_id")
+    pb = perplexity_buckets(kept, vocab_size=vocab_size)
+    head_mid = pb.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("bucket"), "tail")),
+        batch_format="pyarrow")
+    return global_shuffle_positions(head_mid, seed=42)
+
+
 def training_corpus_stats_v3(pdocs: rd.Dataset, lang_ds: rd.Dataset,
                              bench_texts: list[str],
                              **kwargs) -> rd.Dataset:
