@@ -55,9 +55,10 @@ def global_shuffle_positions(docs: rd.Dataset, seed: int = 42,
                                   batch_size=None)
             .to_pandas())  # one row per block: scan metadata, tiny
     if len(summ) == 0:  # empty corpus: empty blocks skip the summary UDF
-        names = docs.schema().names if docs.schema() else [id_col]
-        empty = pa.schema([(c, pa.int64()) for c in names]
-                          + [("pos", pa.int64())])
+        sch = docs.schema()
+        fields = (list(zip(sch.names, sch.types)) if sch
+                  else [(id_col, pa.int64())])
+        empty = pa.schema(fields + [("pos", pa.int64())])
         return rd.from_arrow(empty.empty_table())
     summ = summ.sort_values(["first_k", "first_id"], ignore_index=True)
     prior = summ["n"].cumsum() - summ["n"]
