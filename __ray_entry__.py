@@ -1318,6 +1318,45 @@ def _dirty_urls(sf_dir: str):
             .map_batches(fn, batch_format="pyarrow"))
 
 
+def _q_url_seen_probe(sf_dir: str):
+    """Bloom-filter url seen-set (crawler frontier dedup): bounded
+    distinct-positions build + broadcast bitmap + zero-shuffle probe.
+    Candidates mix in-corpus urls (doc_id%3==0) with absent ones
+    (doc_id%3==1); both engines replay identical md5-slice bits, so even
+    false positives hash-match."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pero_ocr_ray.functions.bloom import url_seen_probe
+
+    def to_urls(df):
+        url = ("https://site" + (df["doc_id"] % 97).astype(str)
+               + ".example/d/" + df["doc_id"].astype(str))
+        return pa.table({"url": pa.array(url, pa.string())})
+
+    def to_cands(df):
+        df = df[df["doc_id"] % 3 < 2]
+        ids = df["doc_id"].to_numpy()
+        url = np.where(
+            ids % 3 == 0,
+            ("https://site" + (df["doc_id"] % 97).astype(str)
+             + ".example/d/" + df["doc_id"].astype(str)).to_numpy(
+                 dtype=object),
+            ("https://absent" + df["doc_id"].astype(str)
+             + ".example/x").to_numpy(dtype=object))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array(url, pa.string()),
+        })
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    corpus = _read_pq(path, columns=["doc_id"]).map_batches(
+        to_urls, batch_format="pandas")
+    cands = _read_pq(path, columns=["doc_id"]).map_batches(
+        to_cands, batch_format="pandas")
+    return url_seen_probe(corpus, cands)
+
+
 def _q_training_corpus_v4(sf_dir: str):
     """The round-4 stream-ordering chain: exact dedup -> duplicated-window
     filter (keep-ids semi-join) -> CCNet buckets minus tail -> seeded
@@ -1491,6 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
         "merge_linewise": _q_merge_linewise,
+        "url_seen_probe": _q_url_seen_probe,
         "training_corpus_v4": _q_training_corpus_v4,
         "dup_window_stats": _q_dup_window_stats,
         "perplexity_buckets": _q_perplexity_buckets,
@@ -2472,6 +2512,36 @@ def oracle_sql() -> dict[str, str]:
         # sums on both engines — no float-order divergence).
         "doc_lm_score": _LM_SCORE_CTE + """
             SELECT doc_id, n_tokens, lm_score_e6 FROM lm""",
+        "url_seen_probe": f"""
+            WITH corpus AS (SELECT {_URL_SQL} AS url FROM documents),
+            cand AS (SELECT doc_id,
+                            CASE WHEN doc_id % 3 = 0 THEN {_URL_SQL}
+                                 ELSE 'https://absent'
+                                      || CAST(doc_id AS VARCHAR)
+                                      || '.example/x' END AS url
+                     FROM documents WHERE doc_id % 3 < 2),
+            pos AS (SELECT DISTINCT
+                        ('0x' || substr(md5(url), 1 + 8 * j, 8))::UBIGINT
+                            % 1048576 AS p
+                    FROM corpus CROSS JOIN
+                         (SELECT unnest([0, 1, 2, 3]) AS j) g),
+            h AS (SELECT doc_id, url,
+                         ('0x' || substr(md5(url), 1, 8))::UBIGINT
+                             % 1048576 AS h0,
+                         ('0x' || substr(md5(url), 9, 8))::UBIGINT
+                             % 1048576 AS h1,
+                         ('0x' || substr(md5(url), 17, 8))::UBIGINT
+                             % 1048576 AS h2,
+                         ('0x' || substr(md5(url), 25, 8))::UBIGINT
+                             % 1048576 AS h3
+                  FROM cand)
+            SELECT doc_id, url,
+                   CAST(CASE WHEN h0 IN (SELECT p FROM pos)
+                              AND h1 IN (SELECT p FROM pos)
+                              AND h2 IN (SELECT p FROM pos)
+                              AND h3 IN (SELECT p FROM pos)
+                        THEN 1 ELSE 0 END AS BIGINT) AS maybe_seen
+            FROM h""",
         "training_corpus_v4": f"""
             WITH surv0 AS (SELECT min(doc_id) AS doc_id
                            FROM documents GROUP BY text),
