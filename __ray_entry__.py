@@ -1318,6 +1318,29 @@ def _dirty_urls(sf_dir: str):
             .map_batches(fn, batch_format="pyarrow"))
 
 
+def _q_url_blocklist_filter(sf_dir: str):
+    """Blocklist curation: broadcast host set (hosts site{h} with
+    h%10==3) + a path-pattern rule; the oracle recomputes both decisions
+    from the closed url form."""
+    import pyarrow as pa
+
+    from pero_ocr_ray.functions.domains import filter_blocked_urls
+
+    def to_urls(df):
+        url = ("https://site" + (df["doc_id"] % 97).astype(str)
+               + ".example/d/" + df["doc_id"].astype(str))
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "url": pa.array(url, pa.string()),
+        })
+
+    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"),
+                  columns=["doc_id"]).map_batches(to_urls,
+                                                  batch_format="pandas")
+    blocked = {f"site{h}.example" for h in range(97) if h % 10 == 3}
+    return filter_blocked_urls(ds, blocked, path_re=r"/d/[0-9]*0$")
+
+
 def _q_url_seen_probe(sf_dir: str):
     """Bloom-filter url seen-set (crawler frontier dedup): bounded
     distinct-positions build + broadcast bitmap + zero-shuffle probe.
@@ -1530,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
         "merge_linewise": _q_merge_linewise,
+        "url_blocklist_filter": _q_url_blocklist_filter,
         "url_seen_probe": _q_url_seen_probe,
         "training_corpus_v4": _q_training_corpus_v4,
         "dup_window_stats": _q_dup_window_stats,
@@ -2512,6 +2536,11 @@ def oracle_sql() -> dict[str, str]:
         # sums on both engines — no float-order divergence).
         "doc_lm_score": _LM_SCORE_CTE + """
             SELECT doc_id, n_tokens, lm_score_e6 FROM lm""",
+        "url_blocklist_filter": f"""
+            WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+            SELECT doc_id, url FROM u
+            WHERE NOT ((doc_id % 97) % 10 = 3)
+              AND NOT regexp_matches(url, '/d/[0-9]*0$')""",
         "url_seen_probe": f"""
             WITH corpus AS (SELECT {_URL_SQL} AS url FROM documents),
             cand AS (SELECT doc_id,

@@ -104,6 +104,33 @@ def canonical_dedup_groups(ds: rd.Dataset, url_col: str = "url",
         batch_format="pandas")
 
 
+def filter_blocked_urls(ds: rd.Dataset, blocked_hosts,
+                        path_re: str | None = None,
+                        url_col: str = "url") -> rd.Dataset:
+    """Drop rows whose host is in ``blocked_hosts`` or whose url matches
+    ``path_re`` — the UT1-blocklist / robots-exclusion curation step.
+
+    The host set is broadcast ONCE via ``ray.put`` (a real blocklist is
+    millions of hosts — never re-ship per batch, never shuffle-join for a
+    membership test); the path rule is one compiled vectorized regex
+    (ASCII classes, RE2-compatible so the SQL oracle evaluates the same
+    pattern). Pure streaming filter, zero shuffles."""
+    import ray
+
+    ref = ray.put(frozenset(blocked_hosts))
+    pat = re.compile(path_re) if path_re else None
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        blocked = ray.get(ref)
+        hosts = df[url_col].str.extract(HOST_RE_STR, expand=False).fillna("")
+        bad = hosts.isin(blocked)
+        if pat is not None:
+            bad |= df[url_col].str.contains(pat, regex=True, na=False)
+        return df[~bad]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def cap_per_domain(ds: rd.Dataset, cap: int, url_col: str = "url",
                    id_col: str = "doc_id") -> rd.Dataset:
     """Keep at most ``cap`` rows per host — the smallest ``id_col`` values

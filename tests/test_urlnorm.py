@@ -74,3 +74,17 @@ def test_canonical_dedup_groups():
            for r in canonical_dedup_groups(ds).take_all()}
     assert got == {"https://h.example/p": (3, 1),
                    "https://h.example/q": (1, 0)}
+
+
+def test_filter_blocked_urls():
+    from pero_ocr_ray.functions.domains import filter_blocked_urls
+    urls = ["https://bad.example/a", "https://ok.example/a",
+            "https://ok.example/ads/banner", "https://ok.example/b",
+            "no host here"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "url": pa.array(urls, pa.string()),
+    })).repartition(2)
+    got = sorted(r["doc_id"] for r in filter_blocked_urls(
+        ds, {"bad.example"}, path_re=r"/ads/").take_all())
+    assert got == [1, 3, 4]  # host-blocked 0, path-blocked 2; hostless kept
