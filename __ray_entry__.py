@@ -1318,6 +1318,13 @@ def _dirty_urls(sf_dir: str):
             .map_batches(fn, batch_format="pyarrow"))
 
 
+def _q_index_search(sf_dir: str):
+    """Conjunctive boolean retrieval (docs containing BOTH terms, score =
+    total tf) — term-at-a-time shape, only query-term rows shuffle."""
+    from pero_ocr_ray.functions.index import index_search
+    return index_search(_docs(sf_dir), ["batch", "key"])
+
+
 def _q_url_blocklist_filter(sf_dir: str):
     """Blocklist curation: broadcast host set (hosts site{h} with
     h%10==3) + a path-pattern rule; the oracle recomputes both decisions
@@ -1553,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "searchable_pdf": _q_searchable_pdf,
         "confusion_top": _q_confusion_top,
         "merge_linewise": _q_merge_linewise,
+        "index_search": _q_index_search,
         "url_blocklist_filter": _q_url_blocklist_filter,
         "url_seen_probe": _q_url_seen_probe,
         "training_corpus_v4": _q_training_corpus_v4,
@@ -2536,6 +2544,17 @@ def oracle_sql() -> dict[str, str]:
         # sums on both engines — no float-order divergence).
         "doc_lm_score": _LM_SCORE_CTE + """
             SELECT doc_id, n_tokens, lm_score_e6 FROM lm""",
+        "index_search": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                                          '[a-z0-9]+'))
+                                    AS token
+                         FROM documents),
+            g AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                  FROM tok WHERE token IN ('batch', 'key')
+                  GROUP BY doc_id, token)
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+            FROM g GROUP BY doc_id HAVING count(*) = 2""",
         "url_blocklist_filter": f"""
             WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
             SELECT doc_id, url FROM u

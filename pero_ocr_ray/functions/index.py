@@ -112,6 +112,49 @@ def _token_stats(pairs: rd.Dataset) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def index_search(ds: rd.Dataset, terms: list[str]) -> rd.Dataset:
+    """Conjunctive (AND) boolean retrieval: -> (doc_id, score) for
+    documents containing EVERY query term, score = total tf across the
+    terms. The term list is a tiny closure constant (a query, not a
+    corpus artifact); only query-term pairs ever reach the shuffle, so
+    cost is bounded by the terms' posting sizes — the standard
+    term-at-a-time evaluation shape."""
+    from ray.data.aggregate import Count, Sum
+
+    want = sorted(set(terms))
+    n_terms = len(want)
+
+    def hits(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.lower().str.findall(SHINGLE_RE)
+        ex = pd.DataFrame({
+            "token": toks.to_numpy(dtype=object),
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+        }).explode("token", ignore_index=True)
+        ex = ex[ex["token"].isin(want)]
+        # a doc is one row, so its (doc, term) tf rows are complete
+        # within this batch — one partial row per matched term per doc
+        g = (ex.groupby(["doc_id", "token"], as_index=False, sort=False)
+             .size().rename(columns={"size": "tf"}))
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy("int64"), pa.int64()),
+            "tf": pa.array(g["tf"].to_numpy("int64"), pa.int64()),
+        })
+
+    agg = (ds.map_batches(hits, batch_format="pandas")
+           .groupby("doc_id")
+           .aggregate(Count(), Sum("tf", alias_name="score")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("count()"), n_terms)
+        f = t.filter(m)
+        return pa.table({
+            "doc_id": f.column("doc_id"),
+            "score": pc.cast(f.column("score"), pa.int64()),
+        })
+
+    return agg.repartition(2).map_batches(finish, batch_format="pyarrow")
+
+
 def inverted_index(ds: rd.Dataset, max_df: int = 32,
                    num_buckets: int = 1024) -> rd.Dataset:
     """-> (token, doc_freq, total_tf, top_doc, postings) — ``postings`` is

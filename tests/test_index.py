@@ -188,3 +188,18 @@ def test_pack_sequences_partitioning_invariant():
     # no sequence over capacity unless a single chunk exceeds it alone
     per_seq = a.groupby(["bucket", "seq_id"])["n_tokens"].sum()
     assert (per_seq <= 128).all()
+
+
+def test_index_search_conjunctive():
+    import pyarrow as pa
+    import ray.data as rd
+    from pero_ocr_ray.functions.index import index_search
+    texts = ["alpha beta alpha", "alpha gamma", "beta beta alpha beta",
+             "gamma delta", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+    got = {r["doc_id"]: r["score"]
+           for r in index_search(ds, ["alpha", "beta"]).take_all()}
+    assert got == {0: 3, 2: 4}  # docs with BOTH terms; score = tf sum
