@@ -255,6 +255,31 @@ def curate_v4(documents: rd.Dataset,
     return global_shuffle_positions(head_mid, seed=42)
 
 
+def export_curated(curated: rd.Dataset, path: str,
+                   partition_cols: list[str] | None = None) -> None:
+    """Write the curated corpus as hive-partitioned parquet (default: one
+    directory per ``lang``) — the resumable-output layout: a failed
+    training-prep run re-exports only the partitions it is missing, and
+    per-lang consumers read their slice with partition pruning instead of
+    scanning the corpus."""
+    curated.write_parquet(path, partition_cols=partition_cols or ["lang"])
+
+
+def read_curated(path: str, langs: list[str] | None = None) -> rd.Dataset:
+    """Read back an :func:`export_curated` tree; ``langs`` prunes whole
+    partition directories at the PATH level (files of other langs are
+    never opened)."""
+    if langs is None:
+        return rd.read_parquet(path)
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    wanted = frozenset(langs)
+    pf = PathPartitionFilter.of(
+        lambda kv: kv.get("lang") in wanted, style="hive",
+        base_dir=path)
+    return rd.read_parquet(path, partition_filter=pf)
+
+
 def training_corpus_stats_v3(pdocs: rd.Dataset, lang_ds: rd.Dataset,
                              bench_texts: list[str],
                              **kwargs) -> rd.Dataset:

@@ -71,3 +71,23 @@ def test_v4_survives_all_boilerplate_corpus():
     })
     got = curate_v4(rd.from_arrow(tbl).repartition(3)).take_all()
     assert got == []
+
+
+def test_export_curated_partitioned_roundtrip(tmp_path):
+    from pero_ocr_ray.pipelines.training_data import (
+        export_curated, read_curated,
+    )
+    tbl = _docs()
+    curated = curate_v4(rd.from_arrow(tbl).repartition(4)).materialize()
+    out = str(tmp_path / "curated")
+    export_curated(curated, out)
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert dirs and all("=" in d for d in dirs)
+    back = read_curated(out)
+    want = {(r["doc_id"], r["lang"], r["pos"]) for r in curated.take_all()}
+    got = {(r["doc_id"], r["lang"], r["pos"]) for r in back.take_all()}
+    assert got == want
+    # partition pruning: one lang reads only its slice
+    en = read_curated(out, langs=["en"])
+    assert {r["lang"] for r in en.take_all()} == {"en"}
