@@ -1471,6 +1471,14 @@ def _q_host_edges(sf_dir: str):
     return host_edges(link_table(_pages(sf_dir, "linked")))
 
 
+def _q_anchor_texts(sf_dir: str):
+    """Corpus-wide (target href, anchor text) counts over the linked
+    template — link 1 appears twice per page (the duplicate anchor), so
+    its pair carries n=2; fragment/mailto anchors contribute nothing."""
+    from pero_ocr_ray.functions.linkgraph import anchor_text_counts
+    return anchor_text_counts(_pages(sf_dir, "linked"))
+
+
 def _q_pagerank_hosts(sf_dir: str):
     """5 exact integer fixed-point PageRank iterations over the host
     graph (damping 85/100, micro-unit ranks, per-edge floor division) —
@@ -1574,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _q_extract_links,
         "host_edges": _q_host_edges,
         "pagerank_hosts": _q_pagerank_hosts,
+        "anchor_texts": _q_anchor_texts,
         "image_features": _q_image_features,
         "image_resize": _q_image_resize,
         "video_frame_samples": _q_video_frames,
@@ -2350,6 +2359,31 @@ def oracle_sql() -> dict[str, str]:
         "host_edges": _HOST_EDGES_SQL.format(host_re=_HOST_RE_SQL) + """
             SELECT src_host, dst_host, weight FROM edges""",
         "pagerank_hosts": _pagerank_sql(5),
+        "anchor_texts": """
+            WITH d AS (SELECT doc_id, 1 + doc_id % 5 AS n_out
+                       FROM documents),
+            occ AS (
+                SELECT 'https://site'
+                           || CAST((doc_id * 7 + k) % 97 AS VARCHAR)
+                           || '.example/p/' || CAST(doc_id AS VARCHAR)
+                           || '-' || CAST(k AS VARCHAR) AS href,
+                       'l' || CAST(k AS VARCHAR) AS anchor_text
+                FROM d CROSS JOIN
+                     (SELECT unnest(generate_series(1, 5)) AS k) g
+                WHERE k <= n_out
+                UNION ALL
+                SELECT 'https://site'
+                           || CAST((doc_id * 7 + 1) % 97 AS VARCHAR)
+                           || '.example/p/' || CAST(doc_id AS VARCHAR)
+                           || '-1', 'l1'
+                FROM d
+                UNION ALL
+                SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR)
+                           || '.example/p/self-'
+                           || CAST(doc_id AS VARCHAR), 'self'
+                FROM d)
+            SELECT href, anchor_text, CAST(count(*) AS BIGINT) AS n
+            FROM occ GROUP BY 1, 2""",
         "doc_content_hash": "SELECT doc_id, md5(text) AS content_hash FROM documents",
         "doc_lang_id": _lang_id_sql(),
         "training_corpus_stats": r"""

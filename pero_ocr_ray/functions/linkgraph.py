@@ -81,6 +81,50 @@ def link_table(pages: rd.Dataset) -> rd.Dataset:
     return pages.map_batches(fn, batch_format="pyarrow")
 
 
+def anchor_text_counts(pages: rd.Dataset) -> rd.Dataset:
+    """pages (url, html) -> (href, anchor_text, n): corpus-wide counts of
+    every (target, anchor text) pair — the classic anchor-text ranking
+    signal (one of the canonical MapReduce workloads). Combiner shape:
+    per-batch pandas counts, one pair groupby; a hot target ("home")
+    crosses the shuffle as one partial per block."""
+    from ray.data.aggregate import Sum
+
+    from pero_ocr_ray.kernels.decode import decode_payload, payload_kind
+    from pero_ocr_ray.kernels.links import extract_anchor_texts
+
+    def partial(t: pa.Table) -> pa.Table:
+        hs, txts = [], []
+        for url, raw in zip(t.column("url").to_pylist(),
+                            t.column("html").to_pylist()):
+            if payload_kind(raw or b"") != "html":
+                continue
+            text, _, _ = decode_payload(raw or b"")
+            for href, atext in extract_anchor_texts(text, url):
+                hs.append(href)
+                txts.append(atext)
+        g = (pd.DataFrame({"href": hs, "anchor_text": txts})
+             .groupby(["href", "anchor_text"], as_index=False).size())
+        return pa.table({
+            "href": pa.array(g["href"], pa.string()),
+            "anchor_text": pa.array(g["anchor_text"], pa.string()),
+            "n_partial": pa.array(g["size"].to_numpy("int64"), pa.int64()),
+        })
+
+    agg = (pages.map_batches(partial, batch_format="pyarrow")
+           .groupby(["href", "anchor_text"])
+           .aggregate(Sum("n_partial", alias_name="n")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "href": t.column("href"),
+            "anchor_text": t.column("anchor_text"),
+            "n": pc.cast(t.column("n"), pa.int64()),
+        })
+
+    return agg.repartition(2).map_batches(finalize, batch_format="pyarrow")
+
+
 def host_edges(links: rd.Dataset) -> rd.Dataset:
     """(src_url, href) links -> (src_host, dst_host, weight) host edges.
 

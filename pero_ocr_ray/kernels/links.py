@@ -156,3 +156,76 @@ def extract_links(html_text: str, base_url: str) -> list[str]:
     except Exception:
         pass  # skip-and-continue: keep links collected so far
     return walker.links
+
+
+class _AnchorWalker(HTMLParser):
+    """Collects (resolved href, anchor text) for EVERY anchor occurrence
+    (no dedup — aggregation happens corpus-wide). A new ``<a>`` implies
+    closing an open one (HTML5); text is the concatenation of visible
+    data nodes inside the anchor, whitespace-normalized. Anchors whose
+    href is dropped by the resolution rules contribute nothing."""
+
+    def updatepos(self, i: int, j: int) -> int:
+        return j
+
+    def __init__(self, scheme: str, host: str, dir_path: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self._base = (scheme, host, dir_path)
+        self._skip_depth = 0
+        self._skip_stack: list[str] = []
+        self._cur: str | None = None   # resolved href of the open anchor
+        self._buf: list[str] = []
+        self.pairs: list[tuple[str, str]] = []
+
+    def _flush(self) -> None:
+        if self._cur is not None:
+            self.pairs.append((self._cur, " ".join("".join(self._buf)
+                                                   .split())))
+        self._cur = None
+        self._buf = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            self._skip_stack.append(tag)
+            return
+        if self._skip_depth > 0:
+            return
+        if tag == "a":
+            self._flush()  # implied close of a still-open anchor
+            href = next((v for k, v in attrs if k == "href"), None)
+            self._cur = resolve_href(href or "", *self._base)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag in SKIP_TAGS:
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if self._skip_depth > 0 and self._skip_stack and \
+                self._skip_stack[-1] == tag:
+            self._skip_stack.pop()
+            self._skip_depth -= 1
+            return
+        if self._skip_depth == 0 and tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0 and self._cur is not None and data:
+            self._buf.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def extract_anchor_texts(html_text: str,
+                         base_url: str) -> list[tuple[str, str]]:
+    """html text -> (resolved href, anchor text) per anchor OCCURRENCE."""
+    walker = _AnchorWalker(*split_base(base_url))
+    try:
+        walker.feed(html_text)
+        walker.close()
+    except Exception:
+        walker._flush()  # skip-and-continue
+    return walker.pairs

@@ -166,3 +166,38 @@ def test_pagerank_hot_dst_and_dangling():
     assert got == want
     assert got["hub"] > max(v for h, v in got.items() if h != "hub")
     assert got["s1"] == TELEPORT_MICRO  # spokes have no in-links
+
+
+def test_extract_anchor_texts_occurrences():
+    from pero_ocr_ray.kernels.links import extract_anchor_texts
+    html = (
+        '<a href="/one"><b>First</b> link</a>'
+        '<a href="/one">First link</a>'          # same pair again
+        '<a href="#frag">dropped text</a>'
+        '<a href="/two">unclosed implies close'
+        '<a href="/three"></a>'                   # empty text kept
+        '<script><a href="/bad">x</a></script>'
+    )
+    got = extract_anchor_texts(html, "https://h.example/p/")
+    assert got == [
+        ("https://h.example/one", "First link"),
+        ("https://h.example/one", "First link"),
+        ("https://h.example/two", "unclosed implies close"),
+        ("https://h.example/three", ""),
+    ]
+
+
+def test_anchor_text_counts_aggregates():
+    from pero_ocr_ray.functions.linkgraph import anchor_text_counts
+    pages = _linked_pages(30)
+    got = {(r["href"], r["anchor_text"]): r["n"]
+           for r in anchor_text_counts(
+               rd.from_arrow(pages).repartition(4)).take_all()}
+    for i in range(30):
+        n_out = 1 + i % 5
+        for k in range(1, n_out + 1):
+            href = f"https://site{(i * 7 + k) % 97}.example/p/{i}-{k}"
+            assert got[(href, f"l{k}")] == (2 if k == 1 else 1)
+        assert got[(f"https://site{i % 97}.example/p/self-{i}",
+                    "self")] == 1
+    assert sum(got.values()) == sum(3 + i % 5 for i in range(30))
