@@ -21,9 +21,12 @@ the link structure. Three operators, all deterministic:
   global dangling-sum broadcast, which would add a driver sync per
   iteration for no test value). The ranks×edges join is the bucketed
   union+groupby shape (``cohorts.py::event_funnel``) — a native hash
-  join aborts when a partition is one-side-empty (CLAUDE.md), and edges
-  stay partitioned by the SAME src-hash bucket every iteration so only
-  the (host, rank) table reshuffles.
+  join aborts when a partition is one-side-empty (CLAUDE.md). The
+  weighted edge table is computed and materialized ONCE (loop-invariant,
+  bucket key precomputed); each iteration still re-sorts the
+  ranks∪edges union by bucket — Ray Data cannot pin a partitioning
+  across iterations, so per-iteration cost is one bucket shuffle of
+  edges+ranks plus one (host, partial) aggregate.
 
 Scale notes (100 TB): link extraction is embarrassingly parallel; edges
 aggregate to |hosts|² at worst but real graphs are sparse — the edge
