@@ -24,7 +24,6 @@ driver-safe at any corpus size.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray

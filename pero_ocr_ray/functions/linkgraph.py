@@ -310,7 +310,6 @@ def pagerank_hosts(edges: rd.Dataset, n_iter: int = 5,
         })
 
     def finalize(t: pa.Table) -> pa.Table:
-        import numpy as np
         s = t.column("S").to_numpy(zero_copy_only=False).astype("int64")
         return pa.table({
             "host": t.column("host"),
