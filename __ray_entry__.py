@@ -1471,6 +1471,17 @@ def _q_host_edges(sf_dir: str):
     return host_edges(link_table(_pages(sf_dir, "linked")))
 
 
+def _q_top_hosts_by_rank(sf_dir: str):
+    """Authority shortlist: 5 PageRank iterations then a distributed
+    top-10 (rank desc, host tie-break) — the compose a crawl scheduler
+    actually runs."""
+    from pero_ocr_ray.functions.linkgraph import (
+        host_edges, link_table, pagerank_hosts, top_hosts_by_rank,
+    )
+    edges = host_edges(link_table(_pages(sf_dir, "linked")))
+    return top_hosts_by_rank(pagerank_hosts(edges, n_iter=5), k=10)
+
+
 def _q_anchor_texts(sf_dir: str):
     """Corpus-wide (target href, anchor text) counts over the linked
     template — link 1 appears twice per page (the duplicate anchor), so
@@ -1583,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_edges": _q_host_edges,
         "pagerank_hosts": _q_pagerank_hosts,
         "anchor_texts": _q_anchor_texts,
+        "top_hosts_by_rank": _q_top_hosts_by_rank,
         "image_features": _q_image_features,
         "image_resize": _q_image_resize,
         "video_frame_samples": _q_video_frames,
@@ -2359,6 +2371,8 @@ def oracle_sql() -> dict[str, str]:
         "host_edges": _HOST_EDGES_SQL.format(host_re=_HOST_RE_SQL) + """
             SELECT src_host, dst_host, weight FROM edges""",
         "pagerank_hosts": _pagerank_sql(5),
+        "top_hosts_by_rank": _pagerank_sql(5)
+        + " ORDER BY rank_micro DESC, host ASC LIMIT 10",
         "anchor_texts": """
             WITH d AS (SELECT doc_id, 1 + doc_id % 5 AS n_out
                        FROM documents),

@@ -161,6 +161,30 @@ def host_edges(links: rd.Dataset) -> rd.Dataset:
     return agg.repartition(2).map_batches(finalize, batch_format="pyarrow")
 
 
+def top_hosts_by_rank(ranks: rd.Dataset, k: int = 10) -> rd.Dataset:
+    """(host, rank_micro) -> the k top-authority hosts — distributed
+    top-k (batch-local head + one tiny final), never a full sort; ties
+    break on host so the cut is total."""
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["host", "rank_micro"]]
+                .sort_values(["rank_micro", "host"],
+                             ascending=[False, True]).head(k))
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["rank_micro", "host"],
+                            ascending=[False, True]).head(k)
+        return pa.table({
+            "host": pa.array(df["host"], pa.string()),
+            "rank_micro": pa.array(df["rank_micro"].to_numpy("int64"),
+                                   pa.int64()),
+        })
+
+    return (ranks.map_batches(local_topk, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final_topk, batch_format="pandas",
+                         batch_size=None))
+
+
 def _bucket_of(hosts: pd.Series, num_buckets: int) -> pd.Series:
     """Deterministic host -> bucket (crc32; grouping-only, never compared
     cross-engine)."""

@@ -201,3 +201,20 @@ def test_anchor_text_counts_aggregates():
         assert got[(f"https://site{i % 97}.example/p/self-{i}",
                     "self")] == 1
     assert sum(got.values()) == sum(3 + i % 5 for i in range(30))
+
+
+def test_top_hosts_by_rank_matches_sorted_cut():
+    from pero_ocr_ray.functions.linkgraph import top_hosts_by_rank
+    edges = [(f"s{i}", f"hub{i % 3}", 1 + i % 4) for i in range(24)]
+    tbl = pa.table({
+        "src_host": pa.array([e[0] for e in edges], pa.string()),
+        "dst_host": pa.array([e[1] for e in edges], pa.string()),
+        "weight": pa.array([e[2] for e in edges], pa.int64()),
+    })
+    ranks = pagerank_hosts(rd.from_arrow(tbl).repartition(3), n_iter=3,
+                           num_buckets=4)
+    got = [(r["host"], r["rank_micro"])
+           for r in top_hosts_by_rank(ranks, k=4).take_all()]
+    want = sorted(_seq_pagerank(edges, 3).items(),
+                  key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert got == want
