@@ -19,4 +19,13 @@ Design stance (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+from pero_ocr_ray import rayfix as _rayfix
+
+# Ray 2.49 hash-shuffle schema-broadcast workaround (see rayfix docstring):
+# without it, native joins abort parallelism-dependently whenever a side's
+# first-scheduled block is empty. Installed at import so the driver, bench,
+# tests, and CLI all get it before any Dataset executes; no-op on Ray
+# versions whose internals don't match.
+_rayfix.install()
+
 from pero_ocr_ray.kernels.config import ExtractConfig, DEFAULT_CONFIG  # noqa: F401

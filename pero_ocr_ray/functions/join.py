@@ -27,15 +27,12 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str,
     small clusters when composed with actor-pool stages (observed at 16
     partitions on 4 cpus). On a real multi-node cluster pass an explicit
     larger value sized to total cores."""
+    from pero_ocr_ray.util import arrow_meta_free, shuffle_partitions
     if num_partitions is None:
-        import ray
-        cpus = (int(ray.cluster_resources().get("CPU", 4))
-                if ray.is_initialized() else 4)
-        num_partitions = max(2, min(64, cpus))
+        num_partitions = shuffle_partitions()
 
     # Normalize both sides to Arrow blocks with hashable schemas (pandas
     # metadata makes every aggregator task warn + skip schema dedup).
-    from pero_ocr_ray.util import arrow_meta_free
     left = arrow_meta_free(left)
     right = arrow_meta_free(right)
     return left.join(right, join_type=join_type, num_partitions=num_partitions,

@@ -33,15 +33,19 @@ aggregate to |hosts|² at worst but real graphs are sparse — the edge
 table is re-used across iterations via one ``materialize()``. A
 pathological src host (one host linking everywhere) concentrates its
 OUT-edges in one bucket; they are already (src,dst)-aggregated, so the
-bucket holds at most its distinct-dst fan-out. int64 bounds: with total
-graph mass ~1e6·|hosts| and weights ≤1e6, r·w stays < 2^63 up to ~1e8
-hosts — beyond that, drop the micro-unit scale one decade.
+bucket holds at most its distinct-dst fan-out. int64 bounds: the
+average case (total graph mass ~1e6·|hosts|, weights ≤1e6) keeps r·w
+< 2^63 up to ~1e8 hosts, but a mega-hub concentrating total mass on a
+near-maximal weight overflows far earlier — so the per-edge multiply is
+CHECKED (raises OverflowError instead of numpy's silent wraparound;
+rescale BASE_MICRO down one decade for such graphs).
 """
 
 from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -50,6 +54,7 @@ from ray.data.aggregate import Sum
 
 from pero_ocr_ray.functions.domains import HOST_RE_STR
 from pero_ocr_ray.kernels.links import extract_links
+from pero_ocr_ray.util import shuffle_partitions
 
 BASE_MICRO = 1_000_000  # initial rank, micro-units
 TELEPORT_MICRO = 150_000  # (1 - d) * BASE_MICRO with d = 85/100
@@ -125,7 +130,8 @@ def anchor_text_counts(pages: rd.Dataset) -> rd.Dataset:
             "n": pc.cast(t.column("n"), pa.int64()),
         })
 
-    return agg.repartition(2).map_batches(finalize, batch_format="pyarrow")
+    return (agg.repartition(shuffle_partitions())
+            .map_batches(finalize, batch_format="pyarrow"))
 
 
 def host_edges(links: rd.Dataset) -> rd.Dataset:
@@ -158,7 +164,8 @@ def host_edges(links: rd.Dataset) -> rd.Dataset:
     agg = (links.map_batches(partial, batch_format="pandas")
            .groupby(["src_host", "dst_host"])
            .aggregate(Sum("n_partial", alias_name="weight")))
-    return agg.repartition(2).map_batches(finalize, batch_format="pyarrow")
+    return (agg.repartition(shuffle_partitions())
+            .map_batches(finalize, batch_format="pyarrow"))
 
 
 def top_hosts_by_rank(ranks: rd.Dataset, k: int = 10) -> rd.Dataset:
@@ -211,7 +218,7 @@ def pagerank_hosts(edges: rd.Dataset, n_iter: int = 5,
     hosts = (edges.map_batches(host_partial, batch_format="pyarrow")
              .groupby("host").aggregate(Count())
              .select_columns(["host"])
-             .repartition(2)
+             .repartition(shuffle_partitions())
              .materialize())
 
     # per-src total out-weight, attached to every edge row via ONE bucketed
@@ -270,10 +277,10 @@ def pagerank_hosts(edges: rd.Dataset, n_iter: int = 5,
         })
 
     edges_w = (edges.map_batches(tag_edges, batch_format="pyarrow")
-               .union(wt.repartition(2)
+               .union(wt.repartition(shuffle_partitions())
                       .map_batches(tag_wt, batch_format="pyarrow"))
                .groupby("__b").map_groups(join_w, batch_format="pandas")
-               .repartition(2)
+               .repartition(shuffle_partitions())
                .materialize())
 
     def init_ranks(t: pa.Table) -> pa.Table:
@@ -318,8 +325,20 @@ def pagerank_hosts(edges: rd.Dataset, n_iter: int = 5,
         m = e.merge(r, on="key")
         if len(m) == 0:
             return _C_SCHEMA.empty_table()
-        c = (m["r"].to_numpy("int64") * m["weight"].to_numpy("int64")
-             // m["W"].to_numpy("int64"))
+        rv = m["r"].to_numpy("int64")
+        wv = m["weight"].to_numpy("int64")
+        # checked multiply: numpy int64 WRAPS on overflow while the SQL
+        # replay (DuckDB BIGINT) raises — a mega-hub concentrating total
+        # graph mass times a near-1e6 weight can exceed 2^63 well before
+        # the ~1e8-host average-case bound, and the two engines would
+        # silently diverge. Fail loudly instead (drop the micro-unit
+        # scale one decade to proceed).
+        lim = (2**63 - 1) // np.maximum(wv, 1)
+        if (rv > lim).any():
+            raise OverflowError(
+                "pagerank contribution r*w exceeds int64; rescale ranks "
+                "(BASE_MICRO) down one decade for this graph")
+        c = rv * wv // m["W"].to_numpy("int64")
         part = (pd.DataFrame({"host": m["dst_host"], "c": c})
                 .groupby("host", as_index=False)["c"].sum())
         return pa.table({
@@ -351,7 +370,7 @@ def pagerank_hosts(edges: rd.Dataset, n_iter: int = 5,
                                           batch_format="pyarrow"))
                  .groupby("host")
                  .aggregate(Sum("s_partial", alias_name="S"))
-                 .repartition(2)
+                 .repartition(shuffle_partitions())
                  .map_batches(finalize, batch_format="pyarrow")
                  .materialize())
 

@@ -79,7 +79,7 @@ def doc_tfidf_topk(docs: rd.Dataset, k: int = 5,
     from ray.data.aggregate import Sum
     from pero_ocr_ray.functions.index import _token_doc_pairs
     from pero_ocr_ray.functions.join import hash_join
-    from pero_ocr_ray.util import pin_empty_blocks
+    from pero_ocr_ray.util import agg_join_safe, pin_empty_blocks
 
     n_docs = float(docs.count())
     tf = _token_doc_pairs(docs)  # (token, doc_id, tf)
@@ -92,14 +92,18 @@ def doc_tfidf_topk(docs: rd.Dataset, k: int = 5,
         return pa.table({"token": g.column("token"),
                          "df_p": g.column("count_all")})
 
-    df_ds = (tf.map_batches(df_partial, batch_format="pyarrow")
-             .groupby("token").aggregate(Sum("df_p", alias_name="df")))
+    # agg_join_safe: the aggregate output carries null-schema empty blocks
+    # in sparse partitions; pin_empty_blocks can't repair them (map_batches
+    # skips empty blocks) and the join shuffle aborts on them at high
+    # partition counts — the round-4 32-CPU failure. The repartition merges
+    # them away; its cost is bounded by the vocabulary size, tiny vs tf.
+    df_ds = agg_join_safe(
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("df_p", alias_name="df")))
 
     tf_schema = pa.schema([("token", pa.string()), ("doc_id", pa.int64()),
                            ("tf", pa.int64())])
-    df_schema = pa.schema([("token", pa.string()), ("df", pa.int64())])
-    joined = hash_join(pin_empty_blocks(tf, tf_schema),
-                       pin_empty_blocks(df_ds, df_schema), on="token")
+    joined = hash_join(pin_empty_blocks(tf, tf_schema), df_ds, on="token")
 
     def score(t: pa.Table) -> pa.Table:
         tfv = t.column("tf").to_numpy(zero_copy_only=False).astype("int64")

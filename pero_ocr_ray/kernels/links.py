@@ -13,7 +13,9 @@ Semantics (deterministic, shared with the sequential oracle replay):
   are ignored, mirroring the visible-stream rule of the block kernel;
 * resolution is an explicit small-step ruleset (NOT ``urllib.parse`` —
   its edge cases aren't replayable in SQL and differ across versions):
-  absolute ``scheme://...`` kept as-is; protocol-relative ``//h/p`` gets
+  absolute ``scheme://...`` kept with the scheme lowercased (schemes are
+  case-insensitive, RFC 3986 §3.1, so ``HTTPS://x/p`` canonicalizes like
+  ``https://x/p``); protocol-relative ``//h/p`` gets
   the base scheme; root-relative ``/p`` gets the base origin; other
   relative forms resolve against the base directory with ``.``/``..``
   segment collapse; fragment-only and non-hierarchical schemes
@@ -30,9 +32,12 @@ from html.parser import HTMLParser
 
 from pero_ocr_ray.kernels.config import SKIP_TAGS
 
-# shared shape with functions/domains.HOST_RE_STR (ASCII classes, RE2-safe)
-_SCHEME_RE = re.compile(r"^([a-z][a-z0-9+.-]*):")
-_ORIGIN_RE = re.compile(r"^([a-z][a-z0-9+.-]*)://([^/?#]*)")
+# shared shape with functions/domains.HOST_RE_STR (ASCII classes, RE2-safe).
+# Schemes are case-insensitive (RFC 3986 §3.1): match either case, emit
+# lowercase — mirror that lower() in any future SQL replay of these rules
+# (today's links oracle synthesizes hrefs directly and never replays them).
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*):")
+_ORIGIN_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)")
 
 
 def split_base(base_url: str) -> tuple[str, str, str]:
@@ -44,7 +49,7 @@ def split_base(base_url: str) -> tuple[str, str, str]:
     m = _ORIGIN_RE.match(base_url or "")
     if not m:
         return "", "", "/"
-    scheme, host = m.group(1), m.group(2)
+    scheme, host = m.group(1).lower(), m.group(2)
     rest = base_url[m.end():]
     for stop in ("?", "#"):
         cut = rest.find(stop)
@@ -89,8 +94,11 @@ def resolve_href(href: str, scheme: str, host: str, dir_path: str) -> str | None
         return None
     m = _SCHEME_RE.match(href)
     if m:
-        if href.startswith(m.group(1) + "://"):
-            return href  # already absolute
+        rest = href[m.end():]
+        if rest.startswith("//"):
+            # already absolute; normalize the (case-insensitive) scheme so
+            # 'HTTPS://x/p' and 'https://x/p' canonicalize identically
+            return m.group(1).lower() + ":" + rest
         return None  # mailto:, javascript:, data:, tel:, ... — not links
     if not scheme or not host:
         return None  # unparseable base: relative forms unresolvable

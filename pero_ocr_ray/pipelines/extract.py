@@ -55,34 +55,61 @@ def read_pages(source, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(source, columns=columns)
 
 
-def dedup_pages(ds: rd.Dataset) -> rd.Dataset:
-    """Exact url dedup, keep latest ``warc_ts`` (tie-break: larger row_id).
+def dedup_pages(ds: rd.Dataset, num_buckets: int = 1024) -> rd.Dataset:
+    """Exact url dedup, keep latest ``warc_ts`` (tie-break: larger row_id,
+    or html md5 when the input carries no lineage id — positional order
+    within a url depends on shuffle arrival and would make the survivor
+    nondeterministic when warc_ts values tie).
 
-    Hash-shuffle keyed on url (SURVEY §2.7 new-engine requirement). The
-    group function is Arrow-native and deterministic.
+    Bucketed shape (SURVEY §2.7 new-engine requirement, the
+    ``paragraphs.py`` 12x lesson): the shuffle keys on
+    ``stable_hash(url) % num_buckets`` and ONE vectorized pass picks every
+    bucket's survivors — per-url ``map_groups`` dispatch costs ~0.5 ms/group
+    (scheduler + slice), which caps a billion-url crawl at ~1.6k urls/s of
+    pure dispatch. Only the key columns convert to pandas for the argmax;
+    the html payloads ride zero-copy Arrow and ``take`` selects survivor
+    rows. Partitioning assumption: one bucket (~1/num_buckets of the crawl)
+    fits a worker's heap — size ``num_buckets`` to corpus/node count on a
+    real cluster.
     """
-    def keep_latest(group: pa.Table) -> pa.Table:
-        if group.num_rows == 1:
-            return group
-        if "row_id" in group.column_names:
-            keys = group.select(["warc_ts", "row_id"])
-            tie = ("row_id", "ascending")
-        else:
-            # no lineage id: tie-break on content hash — positional order
-            # within the group depends on shuffle arrival and would make
-            # the survivor nondeterministic when warc_ts values tie
-            import hashlib
-            digests = [hashlib.md5(h or b"").hexdigest()
-                       for h in group.column("html").to_pylist()]
-            keys = pa.table({
-                "warc_ts": group.column("warc_ts"),
-                "html_md5": pa.array(digests, pa.string()),
-            })
-            tie = ("html_md5", "ascending")
-        idx = pc.sort_indices(keys, sort_keys=[("warc_ts", "ascending"), tie])
-        return group.take(idx[-1:])
+    import pandas as pd
 
-    return ds.groupby("url").map_groups(keep_latest, batch_format="pyarrow")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # pd.util.hash_pandas_object: vectorized, process-stable (fixed
+        # default key), unsalted — safe for a shuffle key (bucket ids are
+        # representation-internal; the survivor set is bucket-independent)
+        h = pd.util.hash_pandas_object(
+            t.column("url").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "__bucket", pa.array((h % num_buckets).astype("int64"),
+                                 pa.int64()))
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        keys = pd.DataFrame({"url": g.column("url").to_pandas(),
+                             "warc_ts": g.column("warc_ts").to_pandas()})
+        if "row_id" in g.column_names:
+            keys["tie"] = g.column("row_id").to_pandas()
+        else:
+            # content-hash tie-break, computed only for duplicated urls
+            dup = keys["url"].duplicated(keep=False).to_numpy()
+            tie = np.empty(len(keys), dtype=object)
+            tie[:] = ""
+            if dup.any():
+                idx = np.flatnonzero(dup)
+                htmls = g.column("html").take(pa.array(idx)).to_pylist()
+                tie[idx] = [hashlib.md5(h or b"").hexdigest()
+                            for h in htmls]
+            keys["tie"] = tie
+        keys["pos"] = np.arange(len(keys), dtype=np.int64)
+        sel = (keys.sort_values(["url", "warc_ts", "tie"], kind="mergesort")
+               .groupby("url", sort=False).tail(1)["pos"].to_numpy())
+        sel.sort()
+        return g.take(pa.array(sel, pa.int64()))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(dedup_bucket, batch_format="pyarrow"))
 
 
 def add_size_buckets(ds: rd.Dataset, edges=(4096, 65536, 1 << 20)) -> rd.Dataset:

@@ -7,7 +7,13 @@ registry maps stage names to builders; a pipeline spec (list of
 ``{"stage": name, **params}``) compiles onto a Dataset as a chain of
 ``map_batches`` calls. Users extend the engine by registering a builder.
 
-A builder has signature ``(ds, cfg, **params) -> ds``.
+A builder has signature ``(ds, cfg, **params) -> ds``. Every built-in
+builder accepts ``ray_remote_args`` (a dict merged into the stage's
+``map_batches`` call) so a spec can schedule a heavy stage on specific
+resources — ``{"stage": "classify", "ray_remote_args": {"num_gpus": 1}}``
+mirrors the reference's GPU placement of its parser/OCR engines
+(/root/reference/user_scripts/parse_folder.py:105-115 safe_gpu). Defaults
+(e.g. ``num_cpus=1`` on actor pools) apply unless the spec overrides them.
 """
 
 from __future__ import annotations
@@ -30,11 +36,19 @@ def register_stage(name: str):
     return deco
 
 
+def _remote_args(defaults: dict, override: dict | None) -> dict:
+    """Merge per-stage scheduling defaults with the spec's
+    ``ray_remote_args`` (spec wins)."""
+    return {**defaults, **(override or {})}
+
+
 def _vector_stage(fn):
-    def builder(ds, cfg: ExtractConfig, batch_size: int | None = None, **_):
+    def builder(ds, cfg: ExtractConfig, batch_size: int | None = None,
+                ray_remote_args: dict | None = None, **_):
         return ds.map_batches(functools.partial(fn, cfg=cfg),
                               batch_format="pyarrow",
-                              batch_size=batch_size or cfg.vector_batch_size)
+                              batch_size=batch_size or cfg.vector_batch_size,
+                              **(ray_remote_args or {}))
     return builder
 
 
@@ -42,7 +56,8 @@ STAGE_REGISTRY.update({
     "decode": _vector_stage(decode_stage),
     "parse": lambda ds, cfg, **p: ds.map_batches(
         functools.partial(parse_stage, cfg=cfg), batch_format="pyarrow",
-        batch_size=p.get("batch_size", cfg.parse_batch_size)),
+        batch_size=p.get("batch_size", cfg.parse_batch_size),
+        **(p.get("ray_remote_args") or {})),
     "segment": _vector_stage(segment_stage),
     "order": _vector_stage(order_stage),
     "emit": _vector_stage(emit_stage),
@@ -50,21 +65,25 @@ STAGE_REGISTRY.update({
 
 
 @register_stage("classify")
-def _classify(ds, cfg: ExtractConfig, concurrency: int = 2, **_):
+def _classify(ds, cfg: ExtractConfig, concurrency: int = 2,
+              ray_remote_args: dict | None = None, **_):
     return ds.map_batches(ClassifyStage,
                           fn_constructor_kwargs={"cfg": cfg.to_dict()},
                           batch_format="pyarrow",
                           batch_size=cfg.vector_batch_size,
-                          concurrency=concurrency, num_cpus=1)
+                          concurrency=concurrency,
+                          **_remote_args({"num_cpus": 1}, ray_remote_args))
 
 
 @register_stage("extract_fused")
-def _fused(ds, cfg: ExtractConfig, concurrency: int = 2, **_):
+def _fused(ds, cfg: ExtractConfig, concurrency: int = 2,
+           ray_remote_args: dict | None = None, **_):
     return ds.map_batches(ParseExtractStage,
                           fn_constructor_kwargs={"cfg": cfg.to_dict()},
                           batch_format="pyarrow",
                           batch_size=cfg.parse_batch_size,
-                          concurrency=concurrency, num_cpus=1)
+                          concurrency=concurrency,
+                          **_remote_args({"num_cpus": 1}, ray_remote_args))
 
 
 @register_stage("to_pagexml")
@@ -109,7 +128,8 @@ def _to_alto_aligned(ds, cfg: ExtractConfig,
 
 @register_stage("beam_decode")
 def _beam_decode(ds, cfg: ExtractConfig, concurrency: int = 2,
-                 batch_size: int = 32, **params):
+                 batch_size: int = 32, ray_remote_args: dict | None = None,
+                 **params):
     """LM-carryover beam decoding as a spec stage (A5). ``lm_factory``
     may be a ``"module:attr"`` string naming a user LM factory — the
     decoding_itf.py:107-136 construction-path analog; see
@@ -117,46 +137,52 @@ def _beam_decode(ds, cfg: ExtractConfig, concurrency: int = 2,
     from pero_ocr_ray.stages.beamdecode import BeamDecodeStage
     return ds.map_batches(BeamDecodeStage, fn_constructor_kwargs=params,
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency, num_cpus=1)
+                          concurrency=concurrency,
+                          **_remote_args({"num_cpus": 1}, ray_remote_args))
 
 
 @register_stage("image_features")
 def _image_features(ds, cfg: ExtractConfig, concurrency: int = 2,
-                    batch_size: int = 32, codec=None, **_):
+                    batch_size: int = 32, codec=None,
+                    ray_remote_args: dict | None = None, **_):
     """Multimodal feature extraction as a spec stage. ``codec`` may be a
     ``"module:attr"`` string naming a real decoder (e.g. a cv2.imdecode
     wrapper) — the documented deployment seam; resolved once per actor
     (stages/multimodal.py module docstring)."""
     from pero_ocr_ray.stages.multimodal import image_features
     return image_features(ds, concurrency=concurrency,
-                          batch_size=batch_size, codec=codec)
+                          batch_size=batch_size, codec=codec,
+                          ray_remote_args=ray_remote_args)
 
 
 @register_stage("audio_features")
 def _audio_features(ds, cfg: ExtractConfig, concurrency: int = 2,
-                    batch_size: int = 32, codec=None, **_):
+                    batch_size: int = 32, codec=None,
+                    ray_remote_args: dict | None = None, **_):
     from pero_ocr_ray.stages.multimodal import audio_features
     return audio_features(ds, concurrency=concurrency,
-                          batch_size=batch_size, codec=codec)
+                          batch_size=batch_size, codec=codec,
+                          ray_remote_args=ray_remote_args)
 
 
 @register_stage("image_resize")
 def _image_resize(ds, cfg: ExtractConfig, out_w: int = 8, out_h: int = 8,
                   concurrency: int = 2, batch_size: int = 32, codec=None,
-                  **_):
+                  ray_remote_args: dict | None = None, **_):
     from pero_ocr_ray.stages.multimodal import resize_images
     return resize_images(ds, out_w=out_w, out_h=out_h,
                          concurrency=concurrency, batch_size=batch_size,
-                         codec=codec)
+                         codec=codec, ray_remote_args=ray_remote_args)
 
 
 @register_stage("video_frames")
 def _video_frames(ds, cfg: ExtractConfig, every_k: int = 4,
                   concurrency: int = 2, batch_size: int = 8, codec=None,
-                  **_):
+                  ray_remote_args: dict | None = None, **_):
     from pero_ocr_ray.stages.multimodal import video_frame_samples
     return video_frame_samples(ds, every_k=every_k, concurrency=concurrency,
-                               batch_size=batch_size, codec=codec)
+                               batch_size=batch_size, codec=codec,
+                               ray_remote_args=ray_remote_args)
 
 
 @register_stage("checkpoint")

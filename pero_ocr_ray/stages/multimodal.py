@@ -299,37 +299,45 @@ class VideoFrameSampleStage:
 
 
 def image_features(ds, concurrency: int = 2, batch_size: int = 32,
-                   codec=None):
-    """Small batches: binary payloads dominate block size (SURVEY §7.5)."""
+                   codec=None, ray_remote_args: dict | None = None):
+    """Small batches: binary payloads dominate block size (SURVEY §7.5).
+    ``ray_remote_args`` passes per-actor resources through (e.g.
+    ``{"num_gpus": 1}`` for a GPU decoder — the reference schedules its
+    heavy stages on GPU, user_scripts/parse_folder.py:105-115)."""
     return ds.map_batches(ImageFeatureStage,
                           fn_constructor_kwargs={"codec": codec},
                           batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=concurrency,
+                          **(ray_remote_args or {}))
 
 
 def resize_images(ds, out_w: int = 8, out_h: int = 8,
-                  concurrency: int = 2, batch_size: int = 32, codec=None):
+                  concurrency: int = 2, batch_size: int = 32, codec=None,
+                  ray_remote_args: dict | None = None):
     return ds.map_batches(ImageResizeStage,
                           fn_constructor_kwargs={"out_w": out_w,
                                                  "out_h": out_h,
                                                  "codec": codec},
                           batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=concurrency,
+                          **(ray_remote_args or {}))
 
 
 def video_frame_samples(ds, every_k: int = 4,
                         concurrency: int = 2, batch_size: int = 8,
-                        codec=None):
+                        codec=None, ray_remote_args: dict | None = None):
     return ds.map_batches(VideoFrameSampleStage,
                           fn_constructor_kwargs={"every_k": every_k,
                                                  "codec": codec},
                           batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=concurrency,
+                          **(ray_remote_args or {}))
 
 
 def audio_features(ds, concurrency: int = 2, batch_size: int = 32,
-                   codec=None):
+                   codec=None, ray_remote_args: dict | None = None):
     return ds.map_batches(AudioFeatureStage,
                           fn_constructor_kwargs={"codec": codec},
                           batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=concurrency,
+                          **(ray_remote_args or {}))

@@ -33,6 +33,30 @@ def arrow_meta_free(ds):
                           batch_size=None)
 
 
+def shuffle_partitions(cap: int = 64) -> int:
+    """CPU-scaled partition count for joins and the repartitions that guard
+    them: ``max(2, min(cap, cluster CPUs))``. One shared rule so the
+    repartition that consolidates an aggregate's output (see
+    :func:`agg_join_safe`) scales with the same cluster size as the join
+    that consumes it."""
+    import ray
+    cpus = (int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized() else 4)
+    return max(2, min(cap, cpus))
+
+
+def agg_join_safe(ds, num_blocks: int | None = None):
+    """Consolidate a ``groupby().aggregate()`` output before feeding it to a
+    native join. Aggregate outputs carry NULL-SCHEMA empty blocks in sparse
+    partitions, and ``map_batches`` (hence :func:`pin_empty_blocks`) SKIPS
+    the UDF on empty blocks — a repartition is the only operator that
+    actually merges them away (CLAUDE.md join gotcha; the round-4
+    ``doc_tfidf_topk`` 32-CPU abort). ``num_blocks`` defaults to the
+    cluster-scaled :func:`shuffle_partitions` — keep it <= the dataset's row
+    count (repartition re-emits null-schema empties past that)."""
+    return ds.repartition(num_blocks or shuffle_partitions())
+
+
 def pin_empty_blocks(ds, schema: pa.Schema):
     """Rewrite zero-row blocks to carry ``schema`` explicitly (and strip
     metadata from the rest). Sparse shuffle partitions emit NULL-SCHEMA

@@ -690,3 +690,51 @@ def test_compare_runs_max_chars_guard():
     assert exact["char_errors"].iloc[0] == 4 and exact["ref_chars"].iloc[0] == 32
     capped = dataset_to_table(compare_runs(a, b, max_chars=8)).to_pandas()
     assert capped["char_errors"].iloc[0] == 1 and capped["ref_chars"].iloc[0] == 8
+
+
+def test_registry_spec_ray_remote_args_reach_map_batches():
+    """Round-5: ``ray_remote_args`` in a spec step must reach the stage's
+    ``map_batches`` call (GPU placement parity with the reference's
+    safe_gpu scheduling, parse_folder.py:105-115). Uses a recording stub
+    so no actual GPU resource is requested from the test cluster."""
+    from pero_ocr_ray.pipelines.registry import build_from_spec
+
+    class RecordingDS:
+        def __init__(self):
+            self.calls = []
+
+        def map_batches(self, fn, **kw):
+            self.calls.append(kw)
+            return self
+
+    ds = RecordingDS()
+    build_from_spec(ds, [
+        {"stage": "classify", "concurrency": 3,
+         "ray_remote_args": {"num_gpus": 1}},
+        {"stage": "extract_fused",
+         "ray_remote_args": {"num_cpus": 2,
+                             "resources": {"accelerator": 1}}},
+        {"stage": "decode", "ray_remote_args": {"num_cpus": 2}},
+        {"stage": "beam_decode", "ray_remote_args": {"num_gpus": 0.5}},
+    ])
+    classify, fused, decode, beam = ds.calls
+    assert classify["num_gpus"] == 1 and classify["num_cpus"] == 1
+    assert classify["concurrency"] == 3
+    # spec override beats the num_cpus=1 actor-pool default
+    assert fused["num_cpus"] == 2
+    assert fused["resources"] == {"accelerator": 1}
+    assert decode["num_cpus"] == 2
+    assert beam["num_gpus"] == 0.5 and beam["num_cpus"] == 1
+
+
+def test_multimodal_ray_remote_args_passthrough():
+    from pero_ocr_ray.stages.multimodal import image_features
+
+    class RecordingDS:
+        def map_batches(self, fn, **kw):
+            self.kw = kw
+            return self
+
+    ds = RecordingDS()
+    image_features(ds, ray_remote_args={"num_gpus": 1})
+    assert ds.kw["num_gpus"] == 1

@@ -32,6 +32,12 @@ def test_split_base_directory():
 @pytest.mark.parametrize("href,expect", [
     ("https://o.example/p", "https://o.example/p"),
     ("http://o.example/p#frag", "http://o.example/p"),
+    # schemes are case-insensitive (RFC 3986 §3.1): absolute stays
+    # absolute, scheme lowercased; uppercase non-links still drop
+    ("HTTPS://o.example/p", "https://o.example/p"),
+    ("HtTp://o.example/q", "http://o.example/q"),
+    ("MAILTO:x@example.com", None),
+    ("JavaScript:void(0)", None),
     ("//cdn.example/x", "https://cdn.example/x"),
     ("/root/y", "https://h.example/root/y"),
     ("rel/z", "https://h.example/a/b/rel/z"),

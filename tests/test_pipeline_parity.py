@@ -223,3 +223,39 @@ def test_run_job_cleans_stale_tmp_dir(tmp_path, pages):
     assert stats["rows"] == 12
     tbl = dataset_to_table(read_job_output(out_dir))
     assert tbl.num_rows == 12  # stale partial rows were not published
+
+
+def test_dedup_bucketed_large_corpus():
+    """The bucketed dedup shape (round-5: one vectorized pass per url
+    bucket, not one map_groups dispatch per url) on a corpus big enough
+    that the per-group-dispatch regime would dominate: 60k rows / 20k
+    urls. Verifies the survivor SET matches the (warc_ts, row_id)-argmax
+    rule exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    n_urls, copies = 20_000, 3
+    rng = np.random.RandomState(7)
+    url = np.repeat([f"https://h{i % 97}.example/p{i}" for i in range(n_urls)],
+                    copies)
+    ts = rng.randint(1_500_000_000, 1_700_000_000,
+                     size=n_urls * copies).astype("datetime64[s]")
+    row_id = np.arange(n_urls * copies, dtype=np.int64)
+    tbl = pa.table({
+        "url": pa.array(url, pa.string()),
+        "warc_ts": pa.array(ts.astype("datetime64[us]"),
+                            pa.timestamp("us")),
+        "row_id": pa.array(row_id, pa.int64()),
+        "html": pa.array([b"<html>x</html>"] * (n_urls * copies),
+                         pa.binary()),
+    })
+    out = dataset_to_table(dedup_pages(rd.from_arrow(tbl).repartition(16)))
+    assert out.num_rows == n_urls
+    got = dict(zip(out.column("url").to_pylist(),
+                   out.column("row_id").to_pylist()))
+    df = tbl.select(["url", "warc_ts", "row_id"]).to_pandas()
+    expect = (df.sort_values(["url", "warc_ts", "row_id"])
+              .groupby("url", sort=False).tail(1))
+    for u, r in zip(expect["url"], expect["row_id"]):
+        assert got[u] == r

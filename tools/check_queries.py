@@ -47,8 +47,11 @@ def main() -> int:
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+        # CHECK_CPUS=32 replicates the driver's session size — join
+        # partitioning scales with CPUs, and a query can pass at 8 CPUs
+        # while aborting at 32 (the round-4 doc_tfidf_topk failure)
+        ray.init(address="local", num_cpus=int(os.environ.get("CHECK_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     import logging
