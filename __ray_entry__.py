@@ -273,6 +273,13 @@ def _q_subword_counts(sf_dir: str):
     return subword_token_counts(_docs(sf_dir))
 
 
+def _q_bpe_counts(sf_dir: str):
+    """REAL merges-table BPE subword budget (round-5): canonical GPT-2
+    style encoding under the fixture tokenizer (kernels/bpe.py)."""
+    from pero_ocr_ray.functions.textstats import bpe_doc_counts
+    return bpe_doc_counts(_docs(sf_dir))
+
+
 def _q_quality(sf_dir: str):
     from pero_ocr_ray.functions.textstats import quality_scores
     return quality_scores(_docs(sf_dir))
@@ -1512,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_best": _q_merge_best,
         "doc_token_counts": _q_token_counts,
         "doc_subword_counts": _q_subword_counts,
+        "doc_bpe_counts": _q_bpe_counts,
         "redact_pii": _q_redact_pii,
         "repetition_stats": _q_repetition_stats,
         "domain_counts": _q_domain_counts,
@@ -1907,6 +1915,42 @@ def _subword_sql() -> str:
     pat = SUBWORD_RE_STR.replace("'", "''")
     return (f"SELECT doc_id, CAST(length(regexp_extract_all(text, "
             f"'{pat}')) AS BIGINT) AS n_subwords FROM documents")
+
+
+def _bpe_sql() -> str:
+    """Real-BPE subword counts: the DuckDB side replays the fixture
+    tokenizer (kernels/bpe.py) by applying the SHARED merges table
+    exhaustively in rank order — an unrolled chain of sentinel-spaced
+    ``replace(' a b ', ' ab ')`` passes (``_PASSES_SQL`` passes per merge
+    so runs of adjacent repeats converge). Exact vs the Ray side's
+    canonical encoder by the trained-merges equivalence theorem (pair
+    parts are created by strictly lower-ranked merges). Only the merges
+    DATA is shared; the encoding logic is independent on each side."""
+    from pero_ocr_ray.kernels.bpe import _PASSES_SQL, fixture_merges
+    # one CTE layer per merge (DuckDB caps expression nesting at 128, so
+    # the replace chain cannot be one expression): layer i applies merge i
+    # _PASSES_SQL times (8-deep nesting, well under the cap)
+    parts = [r"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents),
+        enc0 AS (SELECT doc_id,
+                        ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s
+                 FROM words)"""]
+    merges = list(fixture_merges())
+    for i, (a, b) in enumerate(merges, start=1):
+        expr = "s"
+        for _ in range(_PASSES_SQL):
+            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+        parts.append(f""",
+        enc{i} AS (SELECT doc_id, {expr} AS s FROM enc{i - 1})""")
+    parts.append(f"""
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM enc{len(merges)} GROUP BY doc_id""")
+    return "".join(parts)
 
 
 def _hll_sql() -> str:
@@ -2306,6 +2350,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
             FROM documents""",
         "doc_subword_counts": _subword_sql(),
+        "doc_bpe_counts": _bpe_sql(),
         "redact_pii": _pii_sql(),
         "repetition_stats": _REPETITION_SQL,
         "domain_counts": _domain_counts_sql(),

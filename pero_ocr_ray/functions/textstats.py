@@ -39,6 +39,43 @@ def subword_token_counts(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def bpe_doc_counts(ds: rd.Dataset) -> rd.Dataset:
+    """-> (doc_id, n_words, n_bpe_tokens): REAL merges-table BPE subword
+    budget per document (kernels/bpe.py fixture tokenizer) — the round-5
+    upgrade over the ``SUBWORD_RE`` pretoken estimate. Vectorized: words
+    explode per batch, each DISTINCT word encodes once (memoized canonical
+    BPE), per-doc sums are a pandas groupby. Token-less docs are omitted
+    (matches the SQL mirror's inner GROUP BY). The DuckDB oracle replays
+    encoding as an unrolled rank-order replace chain over the SAME merges
+    table — exact by the trained-merges equivalence theorem
+    (kernels/bpe.py module docstring)."""
+    import pyarrow as pa
+    from pero_ocr_ray.kernels.bpe import bpe_token_count
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.lower().str.findall(K.SHINGLE_RE)
+        ex = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "w": toks,
+        }).explode("w", ignore_index=True).dropna(subset=["w"])
+        if len(ex) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64()),
+                             "n_bpe_tokens": pa.array([], pa.int64())})
+        counts = {w: bpe_token_count(w) for w in ex["w"].unique()}
+        ex["t"] = ex["w"].map(counts).astype("int64")
+        g = (ex.groupby("doc_id", as_index=False)
+             .agg(n_words=("t", "size"), n_bpe_tokens=("t", "sum")))
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy("int64"), pa.int64()),
+            "n_words": pa.array(g["n_words"].to_numpy("int64"), pa.int64()),
+            "n_bpe_tokens": pa.array(g["n_bpe_tokens"].to_numpy("int64"),
+                                     pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def top_tokens(ds: rd.Dataset, k: int = 50) -> rd.Dataset:
     """-> (token, n) the corpus-wide k most frequent lowercase alnum
     tokens (count desc, token asc tie-break).
