@@ -32,6 +32,13 @@ CACHE_ROOT = "/tmp/pero_bench_cache"
 CACHE_VERSION = "v7"  # bump when the generator or case catalog changes
 
 
+def loadavg1() -> float:
+    """1-minute load average — recorded with every timing (benchmarks on
+    this shared box lie under co-tenant load; BASELINE.md protocol)."""
+    with open("/proc/loadavg") as fh:
+        return float(fh.read().split()[0])
+
+
 def ensure_bench_pages(sf_dir: str, shards: int = 32) -> tuple[str, int, int]:
     """Synthesize (once) the bench pages table -> (dir, n_rows, html_bytes)."""
     import pyarrow.parquet as pq
@@ -102,8 +109,10 @@ def run_bench() -> dict:
     # processes / actor pool (the persistent-cluster analog: a 100 TB job
     # runs for hours, process spawn is noise), then best-of-2 timed runs
     # (scheduler noise at this scale is a sizable fraction of wall time).
+    load_before = loadavg1()
     warmup_sec = run_once("warm")
     headline_sec = min(run_once("timed"), run_once("timed2"))
+    load_after = loadavg1()
 
     # representative query timings over the sf tables
     query_times: dict[str, float] = {}
@@ -131,6 +140,8 @@ def run_bench() -> dict:
         "pages_per_sec": round(n_rows / headline_sec, 2),
         "html_mb_per_sec": round(html_bytes / 1e6 / headline_sec, 2),
         "warmup_sec": round(warmup_sec, 3),
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
     }
 
 
@@ -162,6 +173,7 @@ def run_scaling(cl: int | None = None, ch: int | None = None) -> dict:
     # see similar conditions.
     attempts = []
     for attempt in range(2):
+        load0 = loadavg1()
         lo = one(cl)
         time.sleep(5)  # let the low leg's ray session fully drain
         hi = one(ch)
@@ -169,7 +181,9 @@ def run_scaling(cl: int | None = None, ch: int | None = None) -> dict:
         attempts.append({"efficiency": round(eff, 3),
                          "sec_low": lo["value"], "sec_high": hi["value"],
                          "pages_per_sec_low": lo["pages_per_sec"],
-                         "pages_per_sec_high": hi["pages_per_sec"]})
+                         "pages_per_sec_high": hi["pages_per_sec"],
+                         "loadavg_start": load0,
+                         "loadavg_end": loadavg1()})
         if eff >= 0.8:
             break
     best = max(attempts, key=lambda a: a["efficiency"])
