@@ -19,6 +19,18 @@ two-pass frozen-blocking scan (``functions/budget.py``): sort
 lang-run per block to the driver, pass 2 adds broadcast prior-count
 offsets to block-local arange. Language totals are |langs| numbers —
 driver-safe at any corpus size.
+
+100 TB trade (documented, not taken): the exact-NTILE contract costs ONE
+global sort of (lang, score) — at corpus scale an approximate split
+(per-lang t-digest / bounded score histogram, since lm_score_e6 is a
+bounded-precision integer, then a broadcast two-threshold filter) drops
+the sort entirely at the price of tercile boundaries being off by the
+histogram bin width. The exact form is kept here because the correctness
+gate hashes against SQL NTILE tie-for-tie; a production run at 100 TB
+should flip to the histogram split (the machinery already exists:
+``relational.token_quantiles_by_lang`` computes exact discrete quantiles
+from bounded histograms with zero global sort — the same shape applies
+to ``lm_score_e6`` directly when exact SQL-tie parity is not required).
 """
 
 from __future__ import annotations

@@ -76,6 +76,41 @@ def bpe_doc_counts(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def train_bpe_corpus(ds: rd.Dataset, n_merges: int = 1024,
+                     vocab_cap: int = 65536) -> list[tuple[str, str]]:
+    """Corpus-scale BPE training -> ordered merges table.
+
+    Scale shape: the trainer's input is a (word, count) table, NOT the
+    corpus — word counts come from the per-batch value-counts combiner +
+    one ``groupby(token).Sum`` (a hot word crosses the shuffle as one
+    partial per block), the vocabulary is cut to the ``vocab_cap`` most
+    frequent words by a distributed top-k (batch-local head + one tiny
+    final — only ``vocab_cap`` rows ever reach the driver), and the merge
+    loop itself runs driver-side on that bounded table (inherently
+    sequential: merge k+1's pair statistics depend on merge k). This is
+    how production tokenizers are trained on web corpora — the vocabulary
+    cut, not the corpus size, bounds the trainer.
+
+    Deterministic: the top-k cut orders (count desc, token asc) and the
+    trainer's tie-break is (count desc, pair asc) — partitioning-invariant
+    end-to-end (pytest-verified against the sequential trainer)."""
+    from pero_ocr_ray.functions.tfidf import _token_counts
+    from pero_ocr_ray.kernels.bpe import train_bpe
+
+    counts = _token_counts(ds)
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"],
+                              ascending=[False, True]).head(vocab_cap)
+
+    vocab = (counts.map_batches(local_top, batch_format="pandas")
+             .repartition(1)
+             .map_batches(local_top, batch_format="pandas",
+                          batch_size=None)
+             .take_all())  # bounded: <= vocab_cap rows
+    return train_bpe({r["token"]: int(r["n"]) for r in vocab}, n_merges)
+
+
 def top_tokens(ds: rd.Dataset, k: int = 50) -> rd.Dataset:
     """-> (token, n) the corpus-wide k most frequent lowercase alnum
     tokens (count desc, token asc tie-break).

@@ -81,3 +81,35 @@ def test_sql_replay_matches_kernel():
     got = {int(r[0]): int(r[2]) for r in con.sql(sql).fetchall()}
     for i, w in enumerate(words):
         assert got[i] == bpe_token_count(w), (w, got[i], bpe_token_count(w))
+
+
+def test_train_bpe_corpus_matches_sequential():
+    """Distributed training (combiner counts + top-k vocab cut + bounded
+    driver merge loop) == sequential trainer over the same corpus,
+    partitioning-invariant."""
+    import ray.data as rd
+
+    from pero_ocr_ray.functions.textstats import train_bpe_corpus
+    from pero_ocr_ray.kernels.textstats import SHINGLE_RE
+
+    texts = [
+        "the table holds the value and the index filters the table",
+        "merge the query stream and shuffle the column batch",
+        "the value of the table index is the merge key",
+        "shuffle shuffle shuffle the stream batch stream",
+    ] * 5
+    docs = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(7)
+
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in SHINGLE_RE.findall(t.lower()):
+            wc[w] = wc.get(w, 0) + 1
+    from pero_ocr_ray.kernels.bpe import train_bpe
+    expect = train_bpe(wc, 16)
+    got = train_bpe_corpus(docs, n_merges=16, vocab_cap=1000)
+    assert got == expect
+    # a vocab cap below the vocabulary still trains (on the frequent cut)
+    capped = train_bpe_corpus(docs, n_merges=8, vocab_cap=5)
+    assert len(capped) <= 8 and all(len(p) == 2 for p in capped)
