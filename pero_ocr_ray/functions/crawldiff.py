@@ -96,4 +96,6 @@ def diff_counts(diff: rd.Dataset) -> rd.Dataset:
             "n_urls": pc.cast(t.column("n_urls"), pa.int64()),
         })
 
-    return agg.repartition(2).map_batches(finalize, batch_format="pyarrow")
+    from pero_ocr_ray.util import shuffle_partitions
+    return (agg.repartition(shuffle_partitions())
+            .map_batches(finalize, batch_format="pyarrow"))

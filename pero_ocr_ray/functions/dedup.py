@@ -78,11 +78,13 @@ def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
     copies the corpus carries."""
     from pero_ocr_ray.functions.join import hash_join
 
-    # .repartition(8) consolidates stray empty blocks before the native
-    # join (CLAUDE.md: Dataset.join rejects null-schema blocks); winners is
-    # one row per DISTINCT text, far smaller than the corpus.
+    # cluster-scaled repartition consolidates the aggregate's output
+    # blocks before the join (winners is one row per DISTINCT text — far
+    # smaller than the corpus but still corpus-scale at 100 TB, so a fixed
+    # tiny block count would serialize it; round-5 change from 8)
+    from pero_ocr_ray.util import shuffle_partitions
     winners = (exact_dedup_groups(ds).select_columns(["doc_id"])
-               .repartition(8))
+               .repartition(shuffle_partitions()))
     return hash_join(ds, winners, on="doc_id")
 
 
@@ -238,11 +240,13 @@ def label_propagation_components(pairs: rd.Dataset, max_iters: int = 25
                 [pa.compute.min(group.column("label")).as_py()], pa.int64()),
         })
 
-    # .repartition(8) consolidates the empty null-schema blocks
-    # groupby().map_groups leaves behind (they break Dataset.join; CLAUDE.md)
+    # cluster-scaled repartition consolidates map_groups' many tiny
+    # output blocks (empty ones are handled by rayfix; this is also its
+    # fallback)
+    from pero_ocr_ray.util import shuffle_partitions
     labels = (edges.map_batches(init_labels, batch_format="pyarrow")
               .groupby("doc_id").map_groups(min_label, batch_format="pyarrow")
-              .repartition(8).materialize())
+              .repartition(shuffle_partitions()).materialize())
     prev_sum = None
     converged = False
     for _ in range(max_iters):
@@ -267,7 +271,7 @@ def label_propagation_components(pairs: rd.Dataset, max_iters: int = 25
         labels = (labels.union(offers).union(jumps)
                   .groupby("doc_id")
                   .map_groups(min_label, batch_format="pyarrow")
-                  .repartition(8).materialize())
+                  .repartition(shuffle_partitions()).materialize())
         agg = labels.aggregate(Sum("label"))
         cur_sum = (agg or {}).get("sum(label)", 0)
         if cur_sum == prev_sum:  # min-labels are monotone: fixed point
@@ -290,7 +294,9 @@ def near_dup_clusters(ds: rd.Dataset, threshold: float = 0.7, k: int = 3,
     """-> (doc_id, cluster_id) for every doc in a near-dup component:
     MinHash-LSH pairs -> transitive closure by label propagation. Docs with
     no near-dup are absent (their cluster is themselves)."""
-    pairs = minhash_near_dup_pairs(ds, threshold, k).repartition(8)
+    from pero_ocr_ray.util import shuffle_partitions
+    pairs = (minhash_near_dup_pairs(ds, threshold, k)
+             .repartition(shuffle_partitions()))
     return label_propagation_components(pairs, max_iters)
 
 
@@ -362,7 +368,8 @@ def jaccard_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.6,
     # consolidate before the native join: groupby().map_groups leaves empty
     # null-schema blocks that make Dataset.join fail with "No match ...
     # FieldRef(doc_a)" (a Ray 2.49 hash-shuffle quirk; see CLAUDE.md)
-    cands = cands.repartition(8)
+    from pero_ocr_ray.util import shuffle_partitions
+    cands = cands.repartition(shuffle_partitions())
 
     from pero_ocr_ray.functions.join import hash_join
 

@@ -98,7 +98,8 @@ def canonical_dedup_groups(ds: rd.Dataset, url_col: str = "url",
            .groupby("canon_url")
            .aggregate(Sum("n_partial", alias_name="n_urls"),
                       Min("min_partial", alias_name="min_id")))
-    return agg.repartition(2).map_batches(
+    from pero_ocr_ray.util import shuffle_partitions
+    return agg.repartition(shuffle_partitions()).map_batches(
         lambda df: df.assign(n_urls=df["n_urls"].astype("int64"),
                              min_id=df["min_id"].astype("int64")),
         batch_format="pandas")

@@ -152,7 +152,9 @@ def index_search(ds: rd.Dataset, terms: list[str]) -> rd.Dataset:
             "score": pc.cast(f.column("score"), pa.int64()),
         })
 
-    return agg.repartition(2).map_batches(finish, batch_format="pyarrow")
+    from pero_ocr_ray.util import shuffle_partitions
+    return (agg.repartition(shuffle_partitions())
+            .map_batches(finish, batch_format="pyarrow"))
 
 
 def inverted_index(ds: rd.Dataset, max_df: int = 32,

@@ -119,10 +119,13 @@ def _dup_table(exploded: rd.Dataset, min_copies: int) -> rd.Dataset:
                          "n_copies": pc.cast(t.column("n_copies"),
                                              pa.int64())})
 
-    # .repartition consolidates the aggregate's stray empty blocks before
-    # the native join (CLAUDE.md: joins reject null-schema blocks)
+    # cluster-scaled repartition consolidates the aggregate's output
+    # before the native join (empty blocks themselves are handled by
+    # rayfix; the repartition keeps the dup table from being many tiny
+    # blocks, and is the fallback if the rayfix version guard disables)
+    from pero_ocr_ray.util import shuffle_partitions
     return (agg.map_batches(finish, batch_format="pyarrow")
-            .repartition(8))
+            .repartition(shuffle_partitions()))
 
 
 def duplicate_paragraph_stats(ds: rd.Dataset, min_copies: int = 2,

@@ -102,9 +102,11 @@ def curate_full(documents: rd.Dataset, min_tokens: int = 20,
     # the reserved CPUs deadlock (CLAUDE.md composition gotcha). This is
     # the natural phase checkpoint of a curation run anyway (at 100 TB:
     # write survivors to parquet between phases instead).
-    survivors = exact_dedup(documents).repartition(8).materialize()
+    from pero_ocr_ray.util import shuffle_partitions
+    survivors = (exact_dedup(documents)
+                 .repartition(shuffle_partitions()).materialize())
     drops = minhash_dedup_cluster_drop_ids(
-        survivors, near_dup_threshold).repartition(4)
+        survivors, near_dup_threshold).repartition(shuffle_partitions())
     kept = hash_join(survivors,
                      drops.map_batches(
                          lambda df: df.rename(columns={"doc_id": "drop_id"}),
@@ -183,12 +185,14 @@ def curate_v3(pdocs: rd.Dataset, lang_ds: rd.Dataset,
 
     # phase checkpoint, same rationale as curate_full: the rebuilt corpus
     # feeds exact_dedup's two consumers (winner groupby + join left side)
-    cleaned = paragraph_dedup(pdocs).repartition(8).materialize()
+    from pero_ocr_ray.util import shuffle_partitions
+    cleaned = (paragraph_dedup(pdocs)
+               .repartition(shuffle_partitions()).materialize())
     decon = decontaminate(cleaned, bench_texts)
-    # .repartition(8) consolidates the null-schema empty blocks a native
-    # join leaves in sparse partitions before feeding the NEXT native join
-    # (CLAUDE.md join gotcha; bites at tiny inputs where partitions empty)
-    deduped = exact_dedup(decon).repartition(8)
+    # cluster-scaled repartition consolidates the join output's sparse
+    # tiny blocks before the NEXT native join (empties themselves are
+    # handled by rayfix; this doubles as its fallback)
+    deduped = exact_dedup(decon).repartition(shuffle_partitions())
     with_lang = hash_join(deduped, lang_ds, on="doc_id")
 
     def quality_filter(df: pd.DataFrame) -> pd.DataFrame:
@@ -225,7 +229,9 @@ def curate_v4(documents: rd.Dataset,
 
     # phase checkpoint (CLAUDE.md composition gotcha): survivors feed both
     # the window-stats chain and the semi-join left side
-    survivors = exact_dedup(documents).repartition(8).materialize()
+    from pero_ocr_ray.util import shuffle_partitions
+    survivors = (exact_dedup(documents)
+                 .repartition(shuffle_partitions()).materialize())
 
     # keep-ids SEMI-join, not a drop-ids anti-join: with include_empty the
     # keep set covers every surviving doc (dense, never empty), which is
@@ -246,7 +252,7 @@ def curate_v4(documents: rd.Dataset,
     keep_ids = (dup_window_stats(survivors, w=8, include_empty=True)
                 .map_batches(keep_only, batch_format="pyarrow")
                 .union(sentinel)
-                .repartition(8))
+                .repartition(shuffle_partitions()))
     kept = hash_join(survivors, keep_ids, on="doc_id", right_on="keep_id")
     pb = perplexity_buckets(kept, vocab_size=vocab_size)
     head_mid = pb.map_batches(
