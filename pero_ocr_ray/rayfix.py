@@ -101,32 +101,40 @@ def install() -> bool:
         block, input_index, key_columns, pool, block_transformer=None,
         send_empty_blocks=False, override_partition_id=None,
     ):
-        if send_empty_blocks:
+        # Do the transformer + Arrow conversion up front (and pass
+        # block_transformer=None below so upstream doesn't re-apply), then
+        # strip schema metadata: pandas-origin blocks embed a metadata
+        # dict that makes hash(schema) raise inside every AGGREGATOR
+        # actor's concat (aggregators never import this package, so the
+        # unify_schemas patch can't reach them — but every shard they
+        # receive passes through here first).
+        if block_transformer is not None:
+            block = block_transformer(block)
+        block = hs.TableBlockAccessor.try_convert_block_type(
+            block, block_type=hs.BlockType.ARROW)
+        if block.schema.metadata:
+            block = block.replace_schema_metadata(None)
+        if send_empty_blocks and block.num_rows == 0 \
+                and len(block.schema.names) > 0:
+            # the case upstream drops: empty block on the schema-broadcast
+            # task — send one empty schema-ful shard to every partition so
+            # no aggregator finalizes a no-column table. (Only reachable
+            # for blocks whose metadata lacks num_rows; typed schemas
+            # only.)
             stats = hs.BlockExecStats.builder()
-            b = block
-            if block_transformer is not None:
-                b = block_transformer(b)
-            b = hs.TableBlockAccessor.try_convert_block_type(
-                b, block_type=hs.BlockType.ARROW)
-            if b.num_rows == 0 and len(b.schema.names) > 0:
-                # the case upstream drops: empty block on the
-                # schema-broadcast task — send one empty schema-ful shard
-                # to every partition so no aggregator finalizes a
-                # no-column table. (Only reachable for blocks whose
-                # metadata lacks num_rows; typed-empty schemas only.)
-                shard = hs._create_empty_table(b.schema)
-                waits = []
-                for pid in range(pool.num_partitions):
-                    agg = pool.get_aggregator_for_partition(pid)
-                    ref = ray.put(shard)
-                    waits.append(agg.submit.remote(input_index, pid, ref))
-                ray.get(waits)
-                meta = hs.BlockAccessor.for_block(b).get_metadata(
-                    exec_stats=stats.build())
-                return (meta, {})
+            shard = hs._create_empty_table(block.schema)
+            waits = []
+            for pid in range(pool.num_partitions):
+                agg = pool.get_aggregator_for_partition(pid)
+                ref = ray.put(shard)
+                waits.append(agg.submit.remote(input_index, pid, ref))
+            ray.get(waits)
+            meta = hs.BlockAccessor.for_block(block).get_metadata(
+                exec_stats=stats.build())
+            return (meta, {})
         return orig_shuffle_fn(
             block, input_index, key_columns, pool,
-            block_transformer=block_transformer,
+            block_transformer=None,
             send_empty_blocks=send_empty_blocks,
             override_partition_id=override_partition_id,
         )
