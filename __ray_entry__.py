@@ -285,6 +285,13 @@ def _q_quality(sf_dir: str):
     return quality_scores(_docs(sf_dir))
 
 
+def _q_gopher(sf_dir: str):
+    """Gopher-rules pre-filter (Rae et al. 2021 A1.1): integer features +
+    all-integer composite pass flag; pure streaming map, zero shuffle."""
+    from pero_ocr_ray.functions.gopher import gopher_flags
+    return gopher_flags(_docs(sf_dir))
+
+
 def _q_content_hash(sf_dir: str):
     from pero_ocr_ray.functions.textstats import content_hashes
     return content_hashes(_docs(sf_dir))
@@ -1527,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "stratified_sample": _q_stratified_sample,
         "doc_quality": _q_quality,
+        "gopher_quality_filter": _q_gopher,
         "doc_content_hash": _q_content_hash,
         "doc_lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
@@ -1619,6 +1627,54 @@ _URL_SQL = "'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || C
 # unconditionally (kernels pinned to ASCII classes, kernels/textstats.py).
 _CANON_SQL = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
 _STOPWORD_SQL = r"\b(?:the|and|of|a|to|in|is|for|on|with)\b"
+
+
+def _gopher_sql() -> str:
+    """Gopher-rules mirror: the regex constants come verbatim from
+    ``functions/gopher.py`` (one rule list drives both engines) and every
+    rule is an integer cross-multiplication, so the hash compare is exact.
+    RE2's ``\\S`` is ASCII — identical to the kernel's TOKEN_RE class."""
+    from pero_ocr_ray.functions import gopher as G
+    return rf"""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                     AS n_words,
+                 CAST(coalesce(length(array_to_string(
+                     regexp_extract_all(text, '\S+'), '')), 0) AS BIGINT)
+                     AS word_chars,
+                 CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+                          x -> regexp_matches(x, '{G.ALPHA_RE_STR}')))
+                     AS BIGINT) AS n_alpha_words,
+                 CAST(len(regexp_extract_all(lower(text),
+                          '{_STOPWORD_SQL}')) AS BIGINT) AS n_stop_hits,
+                 CAST(len(regexp_extract_all(text, '{G.SYMBOL_RE_STR}'))
+                     AS BIGINT) AS n_symbols,
+                 CAST(CASE WHEN length(text) = 0 THEN 0
+                      ELSE len(regexp_extract_all(text, '\n')) + 1 END
+                     AS BIGINT) AS n_lines,
+                 CAST(len(regexp_extract_all(text, '{G.BULLET_RE_STR}'))
+                     AS BIGINT) AS n_bullet_lines,
+                 CAST(len(regexp_extract_all(text,
+                          '{G.ELLIPSIS_LINE_RE_STR}')) AS BIGINT)
+                     AS n_ellipsis_lines
+          FROM documents)
+        SELECT doc_id, n_words, word_chars, n_alpha_words, n_stop_hits,
+               n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines,
+               CAST(CASE WHEN n_words BETWEEN {G.MIN_WORDS} AND {G.MAX_WORDS}
+                          AND {G.MIN_MEAN_WORD_LEN} * n_words <= word_chars
+                          AND word_chars <= {G.MAX_MEAN_WORD_LEN} * n_words
+                          AND 1000 * n_symbols
+                              < {G.MAX_SYMBOL_PERMILLE} * n_words
+                          AND 1000 * n_bullet_lines
+                              <= {G.MAX_BULLET_PERMILLE} * n_lines
+                          AND 1000 * n_ellipsis_lines
+                              <= {G.MAX_ELLIPSIS_PERMILLE} * n_lines
+                          AND 1000 * n_alpha_words
+                              >= {G.MIN_ALPHA_PERMILLE} * n_words
+                          AND n_stop_hits >= {G.MIN_STOP_HITS}
+                     THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
+        FROM f"""
 
 
 _ASOF_SQL = """
@@ -2387,6 +2443,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(lower(text), '{_STOPWORD_SQL}')) AS BIGINT) AS n_stopwords,
                    CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
             FROM documents""",
+        "gopher_quality_filter": _gopher_sql(),
         "global_shuffle": """
             SELECT doc_id,
                    CAST(row_number() OVER (
