@@ -292,6 +292,19 @@ def _q_gopher(sf_dir: str):
     return gopher_flags(_docs(sf_dir))
 
 
+def _q_c4_line_filter(sf_dir: str):
+    """C4-style line filter + doc reassembly (Raffel et al. 2020 §2.2).
+    The gate corpus is single-line, so both engines first apply the shared
+    deterministic line synthesis (8 words/line; SQL mirror in `_c4_sql`);
+    the terminal-punct rule is off (the corpus carries no punctuation) and
+    the line-level ban word is 'spark' (present in the corpus) so the
+    filter is exercised non-degenerately. Zero shuffle end-to-end."""
+    from pero_ocr_ray.functions.linefilter import (line_filter_docs,
+                                                   synthesize_lines)
+    return line_filter_docs(synthesize_lines(_docs(sf_dir)),
+                            require_terminal_punct=False, banned=("spark",))
+
+
 def _q_content_hash(sf_dir: str):
     from pero_ocr_ray.functions.textstats import content_hashes
     return content_hashes(_docs(sf_dir))
@@ -1535,6 +1548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "doc_quality": _q_quality,
         "gopher_quality_filter": _q_gopher,
+        "c4_line_filter": _q_c4_line_filter,
         "doc_content_hash": _q_content_hash,
         "doc_lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
@@ -1675,6 +1689,49 @@ def _gopher_sql() -> str:
                           AND n_stop_hits >= {G.MIN_STOP_HITS}
                      THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
         FROM f"""
+
+
+def _c4_sql() -> str:
+    """C4 line-filter mirror. Constants come from
+    ``functions/linefilter.py`` (one rule list drives both engines). The
+    line-synthesis CTE regroups the flat corpus into 8-word lines exactly
+    as ``synthesize_lines`` does (regexp token split skips empty tokens on
+    both sides); predicates are pure-integer / literal-regex so the hash
+    compare is exact. Stacked CTEs keep DuckDB's 128-deep binder happy."""
+    from pero_ocr_ray.functions import linefilter as L
+    wpl = L.GATE_WORDS_PER_LINE
+    ban_re = L.banned_word_re("spark")
+    doc_bans = " AND ".join(
+        f"NOT contains(lower(text), '{s.replace(chr(39), chr(39)*2)}')"
+        for s in L.DOC_BAN_SUBSTRINGS)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, text,
+                 regexp_extract_all(text, '{L.WORD_RE}') AS w
+          FROM documents),
+        ln AS (
+          SELECT doc_id, text,
+                 list_transform(
+                   generate_series(1, greatest((len(w)+{wpl - 1})//{wpl}, 1)),
+                   i -> coalesce(array_to_string(
+                          w[((i-1)*{wpl}+1):(i*{wpl})], ' '), '')) AS lines
+          FROM toks),
+        k AS (
+          SELECT doc_id, text, lines,
+                 list_filter(lines,
+                   l -> len(regexp_extract_all(l, '{L.WORD_RE}'))
+                          >= {L.MIN_WORDS_PER_LINE}
+                        AND NOT regexp_matches(lower(l), '{ban_re}'))
+                 AS kept
+          FROM ln)
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+               CAST(CASE WHEN len(kept) >= {L.MIN_KEPT_LINES}
+                          AND {doc_bans}
+                    THEN 1 ELSE 0 END AS BIGINT) AS pass_c4
+        FROM k"""
 
 
 _ASOF_SQL = """
@@ -2444,6 +2501,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
             FROM documents""",
         "gopher_quality_filter": _gopher_sql(),
+        "c4_line_filter": _c4_sql(),
         "global_shuffle": """
             SELECT doc_id,
                    CAST(row_number() OVER (
