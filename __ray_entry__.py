@@ -305,6 +305,15 @@ def _q_c4_line_filter(sf_dir: str):
                             require_terminal_punct=False, banned=("spark",))
 
 
+def _q_classifier(sf_dir: str):
+    """fastText-style hashed linear quality classifier: bounded weight
+    vector broadcast once (ray.put), hashed-unigram lookup + integer doc
+    score per batch; zero shuffle. The gate model is the deterministic
+    md5-derived head so the SQL mirror recomputes identical weights."""
+    from pero_ocr_ray.functions.classifier import classify_docs
+    return classify_docs(_docs(sf_dir))
+
+
 def _q_content_hash(sf_dir: str):
     from pero_ocr_ray.functions.textstats import content_hashes
     return content_hashes(_docs(sf_dir))
@@ -1549,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_quality,
         "gopher_quality_filter": _q_gopher,
         "c4_line_filter": _q_c4_line_filter,
+        "quality_classifier": _q_classifier,
         "doc_content_hash": _q_content_hash,
         "doc_lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
@@ -1689,6 +1699,44 @@ def _gopher_sql() -> str:
                           AND n_stop_hits >= {G.MIN_STOP_HITS}
                      THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
         FROM f"""
+
+
+def _classifier_sql() -> str:
+    """Hashed-linear-classifier mirror: the weight CTE derives the exact
+    int64 table ``classifier.hashed_weights`` builds (md5-high-64 of the
+    bucket id, repo convention) and the token buckets use the same
+    md5-high-64 of the token; the doc score is an integer SUM, the keep
+    rule an integer cross-multiplication — hash compare is exact."""
+    from pero_ocr_ray.functions import classifier as C
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS token
+          FROM documents),
+        bk AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(token), 1, 16))::UBIGINT
+                      % {C.N_BUCKETS} AS BIGINT) AS bucket
+          FROM tok),
+        w AS (
+          SELECT CAST(b AS BIGINT) AS bucket,
+                 CAST(('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 16))
+                      ::UBIGINT % {C.WEIGHT_MOD} AS BIGINT)
+                   - {C.WEIGHT_SHIFT} AS wt
+          FROM generate_series(0, {C.N_BUCKETS - 1}) AS t(b)),
+        s AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(w.wt) AS BIGINT) AS clf_score
+          FROM bk JOIN w USING (bucket) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_tokens, 0) AS n_tokens,
+               coalesce(s.clf_score, 0) AS clf_score,
+               CAST(CASE WHEN coalesce(s.clf_score, 0) * 1000
+                          >= {C.DEFAULT_THR_MILLI}
+                             * coalesce(s.n_tokens, 0)
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep_doc
+        FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
 def _c4_sql() -> str:
@@ -2502,6 +2550,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "gopher_quality_filter": _gopher_sql(),
         "c4_line_filter": _c4_sql(),
+        "quality_classifier": _classifier_sql(),
         "global_shuffle": """
             SELECT doc_id,
                    CAST(row_number() OVER (

@@ -1,0 +1,83 @@
+"""Hashed linear classifier: weight parity, scoring edge cases, gate SQL."""
+
+import duckdb
+import hashlib
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from pero_ocr_ray.functions.classifier import (
+    N_BUCKETS, WEIGHT_MOD, WEIGHT_SHIFT, classify_docs, hashed_weights)
+
+
+def _run(docs, **kw):
+    out = classify_docs(rd.from_pandas(docs), **kw)
+    return pa.table(out.take_batch(10_000, batch_format="pyarrow")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_weights_deterministic_and_bounded():
+    w = hashed_weights()
+    assert len(w) == N_BUCKETS and w.dtype == np.int64
+    assert w.min() >= -WEIGHT_SHIFT and w.max() <= WEIGHT_MOD - 1 - WEIGHT_SHIFT
+    assert np.array_equal(w, hashed_weights())  # process-stable
+
+
+def test_score_is_sum_of_token_weights():
+    w = hashed_weights()
+    docs = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "text": ["alpha beta alpha", "", "Gamma-Delta 42"]})
+    out = _run(docs).set_index("doc_id")
+
+    def tok_w(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16) % N_BUCKETS
+        return int(w[b])
+
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "clf_score"] == 2 * tok_w("alpha") + tok_w("beta")
+    assert out.loc[1, "n_tokens"] == 0 and out.loc[1, "clf_score"] == 0
+    assert out.loc[1, "keep_doc"] == 1  # 0 >= 0*0 with default threshold
+    # tokenizer lowercases and splits on non-alnum
+    assert out.loc[2, "n_tokens"] == 3
+    assert out.loc[2, "clf_score"] == \
+        tok_w("gamma") + tok_w("delta") + tok_w("42")
+
+
+def test_threshold_cross_multiplication():
+    docs = pd.DataFrame({"doc_id": [0], "text": ["alpha beta alpha"]})
+    base = _run(docs)
+    score, n = int(base.loc[0, "clf_score"]), int(base.loc[0, "n_tokens"])
+    mean_milli = score * 1000 / n
+    assert _run(docs, thr_milli=int(np.floor(mean_milli)))\
+        .loc[0, "keep_doc"] == 1
+    assert _run(docs, thr_milli=int(np.floor(mean_milli)) + 1)\
+        .loc[0, "keep_doc"] == 0
+
+
+def test_custom_weights_override():
+    w = np.zeros(N_BUCKETS, np.int64)
+    b = int(hashlib.md5(b"alpha").hexdigest()[:16], 16) % N_BUCKETS
+    w[b] = 7
+    out = _run(pd.DataFrame({"doc_id": [0], "text": ["alpha alpha beta"]}),
+               weights=w)
+    bb = int(hashlib.md5(b"beta").hexdigest()[:16], 16) % N_BUCKETS
+    assert out.loc[0, "clf_score"] == 14 + int(w[bb])
+
+
+def test_gate_sql_parity_small():
+    import importlib
+    mod = importlib.import_module("__ray_entry__")
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["alpha beta gamma delta", "", "zz top 123 zz",
+                 "the quick brown fox jumps over the lazy dog"],
+    })
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql = con.execute(mod._classifier_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ray_out = _run(docs)
+    for c in ["n_tokens", "clf_score", "keep_doc"]:
+        assert ray_out[c].astype("int64").equals(sql[c].astype("int64")), c
