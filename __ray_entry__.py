@@ -314,6 +314,14 @@ def _q_classifier(sf_dir: str):
     return classify_docs(_docs(sf_dir))
 
 
+def _q_quality_funnel(sf_dir: str):
+    """Gopher rules -> C4 line filter -> hashed classifier, composed as
+    one zero-shuffle stream; survivors only. Whole-chain stacked-CTE SQL
+    oracle (composition correctness on top of the per-stage oracles)."""
+    from pero_ocr_ray.pipelines.training_data import quality_funnel
+    return quality_funnel(_docs(sf_dir))
+
+
 def _q_content_hash(sf_dir: str):
     from pero_ocr_ray.functions.textstats import content_hashes
     return content_hashes(_docs(sf_dir))
@@ -1559,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_filter": _q_gopher,
         "c4_line_filter": _q_c4_line_filter,
         "quality_classifier": _q_classifier,
+        "quality_funnel": _q_quality_funnel,
         "doc_content_hash": _q_content_hash,
         "doc_lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
@@ -1653,7 +1662,7 @@ _CANON_SQL = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
 _STOPWORD_SQL = r"\b(?:the|and|of|a|to|in|is|for|on|with)\b"
 
 
-def _gopher_sql() -> str:
+def _gopher_sql(src: str = 'documents') -> str:
     """Gopher-rules mirror: the regex constants come verbatim from
     ``functions/gopher.py`` (one rule list drives both engines) and every
     rule is an integer cross-multiplication, so the hash compare is exact.
@@ -1682,7 +1691,7 @@ def _gopher_sql() -> str:
                  CAST(len(regexp_extract_all(text,
                           '{G.ELLIPSIS_LINE_RE_STR}')) AS BIGINT)
                      AS n_ellipsis_lines
-          FROM documents)
+          FROM {src})
         SELECT doc_id, n_words, word_chars, n_alpha_words, n_stop_hits,
                n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines,
                CAST(CASE WHEN n_words BETWEEN {G.MIN_WORDS} AND {G.MAX_WORDS}
@@ -1701,7 +1710,7 @@ def _gopher_sql() -> str:
         FROM f"""
 
 
-def _classifier_sql() -> str:
+def _classifier_sql(src: str = 'documents') -> str:
     """Hashed-linear-classifier mirror: the weight CTE derives the exact
     int64 table ``classifier.hashed_weights`` builds (md5-high-64 of the
     bucket id, repo convention) and the token buckets use the same
@@ -1713,7 +1722,7 @@ def _classifier_sql() -> str:
           SELECT doc_id,
                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                    AS token
-          FROM documents),
+          FROM {src}),
         bk AS (
           SELECT doc_id,
                  CAST(('0x' || substr(md5(token), 1, 16))::UBIGINT
@@ -1736,10 +1745,10 @@ def _classifier_sql() -> str:
                           >= {C.DEFAULT_THR_MILLI}
                              * coalesce(s.n_tokens, 0)
                     THEN 1 ELSE 0 END AS BIGINT) AS keep_doc
-        FROM documents d LEFT JOIN s USING (doc_id)"""
+        FROM {src} d LEFT JOIN s USING (doc_id)"""
 
 
-def _c4_sql() -> str:
+def _c4_sql(src: str = 'documents') -> str:
     """C4 line-filter mirror. Constants come from
     ``functions/linefilter.py`` (one rule list drives both engines). The
     line-synthesis CTE regroups the flat corpus into 8-word lines exactly
@@ -1756,7 +1765,7 @@ def _c4_sql() -> str:
         WITH toks AS (
           SELECT doc_id, text,
                  regexp_extract_all(text, '{L.WORD_RE}') AS w
-          FROM documents),
+          FROM {src}),
         ln AS (
           SELECT doc_id, text,
                  list_transform(
@@ -1780,6 +1789,24 @@ def _c4_sql() -> str:
                           AND {doc_bans}
                     THEN 1 ELSE 0 END AS BIGINT) AS pass_c4
         FROM k"""
+
+
+def _funnel_sql() -> str:
+    """Whole-chain mirror of pipelines.training_data.quality_funnel: each
+    stage's own builder (parametrized by source table) is embedded as a
+    CTE body, so the composed oracle is BUILT FROM the per-stage oracles
+    — no second implementation to drift."""
+    return f"""
+        WITH gf AS ({_gopher_sql('documents')}),
+        s1 AS (SELECT d.doc_id, d.text
+               FROM documents d JOIN gf USING (doc_id)
+               WHERE gf.pass_gopher = 1),
+        c4 AS ({_c4_sql('s1')}),
+        s2 AS (SELECT doc_id, text_clean AS text
+               FROM c4 WHERE pass_c4 = 1),
+        clf AS ({_classifier_sql('s2')})
+        SELECT doc_id, n_tokens, clf_score
+        FROM clf WHERE keep_doc = 1"""
 
 
 _ASOF_SQL = """
@@ -2551,6 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_filter": _gopher_sql(),
         "c4_line_filter": _c4_sql(),
         "quality_classifier": _classifier_sql(),
+        "quality_funnel": _funnel_sql(),
         "global_shuffle": """
             SELECT doc_id,
                    CAST(row_number() OVER (

@@ -314,3 +314,57 @@ def training_corpus_stats_v3(pdocs: rd.Dataset, lang_ds: rd.Dataset,
         })
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def quality_funnel(documents: rd.Dataset,
+                   concurrency: int = 2) -> rd.Dataset:
+    """The round-5 quality-filtering funnel as ONE zero-shuffle stream:
+
+        documents
+          └─ Gopher document rules  (functions/gopher.py)     # narrow
+          └─ C4 line filter + doc reassembly (linefilter.py)  # narrow
+          └─ hashed linear classifier (classifier.py)         # narrow
+
+    Every stage is row-local, so the funnel is a pure pipelined map chain
+    — at 100 TB it streams with zero exchanges and drops payload bytes as
+    early as possible (Gopher rejects never reach the line filter; C4
+    rejects never reach the classifier; the classifier scores CLEANED
+    text). Returns survivors only: (doc_id, n_tokens, clf_score).
+
+    The whole composition is value-hash checked against one stacked-CTE
+    DuckDB query (`quality_funnel` oracle) — composition correctness on
+    top of the three per-stage oracles. The line-filter stage runs the
+    gate configuration (8-word synthesized lines, no terminal-punct rule,
+    banned word 'spark') because the corpus is flat single-line text; on
+    real crawl text call the stages directly with C4 defaults.
+    """
+    import pyarrow as pa
+
+    from pero_ocr_ray.functions.classifier import classify_docs
+    from pero_ocr_ray.functions.gopher import _flags_frame
+    from pero_ocr_ray.functions.linefilter import (line_filter_docs,
+                                                   synthesize_lines)
+
+    def gopher_keep(df: pd.DataFrame) -> pd.DataFrame:
+        ok = _flags_frame(df)["pass_gopher"].to_numpy() == 1
+        return df.loc[ok, ["doc_id", "text"]]
+
+    s1 = documents.map_batches(gopher_keep, batch_format="pandas")
+    c4 = line_filter_docs(synthesize_lines(s1),
+                          require_terminal_punct=False, banned=("spark",))
+
+    def c4_keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kept = t.filter(pc.equal(t.column("pass_c4"), 1))
+        return pa.table({"doc_id": kept.column("doc_id"),
+                         "text": kept.column("text_clean")})
+
+    s2 = c4.map_batches(c4_keep, batch_format="pyarrow")
+    clf = classify_docs(s2, concurrency=concurrency)
+
+    def clf_keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kept = t.filter(pc.equal(t.column("keep_doc"), 1))
+        return kept.select(["doc_id", "n_tokens", "clf_score"])
+
+    return clf.map_batches(clf_keep, batch_format="pyarrow")

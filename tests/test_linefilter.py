@@ -93,3 +93,40 @@ def test_synthesize_lines_shapes():
     assert out.loc[0, "text"] == "a b c d e f g h\ni"
     assert out.loc[1, "text"] == ""
     assert GATE_WORDS_PER_LINE == 8  # SQL mirror bakes this constant
+
+
+def test_quality_funnel_composition():
+    """Funnel = gopher ∘ c4 ∘ classifier with stage-boundary filters;
+    verify survivors equal the brute-force per-stage composition."""
+    import importlib
+
+    import duckdb
+
+    from pero_ocr_ray.pipelines.training_data import quality_funnel
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(4)),
+        "text": [
+            # passes gopher (enough stopword-rich words), c4, classifier?
+            ("the and of a to in is for on with data table row batch "
+             "merge sort join scan key value index page line word ") * 3,
+            "x",                                   # fails gopher (too short)
+            ("the and of a to in is for on with spark spark spark spark "
+             "spark spark spark spark spark spark spark spark ") * 4,
+            ("the quick brown fox jumps over the lazy dog with a view "
+             "to the sea and a is in on for of band ") * 4,
+        ],
+    })
+    mod = importlib.import_module("__ray_entry__")
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql = con.execute(mod._funnel_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ray_out = pa.table(
+        quality_funnel(rd.from_pandas(docs)).take_batch(
+            100, batch_format="pyarrow")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(ray_out) == len(sql) and len(ray_out) > 0
+    for c in ["doc_id", "n_tokens", "clf_score"]:
+        assert ray_out[c].astype("int64").equals(sql[c].astype("int64")), c
+    assert 1 not in ray_out["doc_id"].tolist()  # gopher reject never scored
