@@ -322,6 +322,15 @@ def _q_quality_funnel(sf_dir: str):
     return quality_funnel(_docs(sf_dir))
 
 
+def _q_temperature_sample(sf_dir: str):
+    """Temperature-0.5 language rebalancing (Conneau & Lample 2019/mT5):
+    per-lang quota floor(sqrt(n)), selection by seeded md5 rank. Two
+    bounded exchanges: a one-row-per-lang count and a candidates-only
+    top-k (each block forwards at most quota rows per lang)."""
+    from pero_ocr_ray.functions.sampling import temperature_sample
+    return temperature_sample(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
 def _q_content_hash(sf_dir: str):
     from pero_ocr_ray.functions.textstats import content_hashes
     return content_hashes(_docs(sf_dir))
@@ -1568,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_filter": _q_c4_line_filter,
         "quality_classifier": _q_classifier,
         "quality_funnel": _q_quality_funnel,
+        "temperature_sample": _q_temperature_sample,
         "doc_content_hash": _q_content_hash,
         "doc_lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
@@ -2579,6 +2589,21 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter": _c4_sql(),
         "quality_classifier": _classifier_sql(),
         "quality_funnel": _funnel_sql(),
+        "temperature_sample": """
+            WITH c AS (SELECT lang, count(*) AS n
+                       FROM documents GROUP BY lang),
+            q AS (SELECT lang,
+                         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+                           AS quota
+                  FROM c),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY lang
+                           ORDER BY ('0x' || substr(md5(
+                                       CAST(doc_id AS VARCHAR)), 1, 16))
+                                     ::UBIGINT, doc_id) AS rk
+                  FROM documents)
+            SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+            FROM r JOIN q USING (lang) WHERE r.rk <= q.quota""",
         "global_shuffle": """
             SELECT doc_id,
                    CAST(row_number() OVER (

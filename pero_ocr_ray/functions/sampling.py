@@ -46,3 +46,97 @@ def stratified_sample(ds: rd.Dataset, rates_permille: dict[str, int],
         return df[pm < limit]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def temperature_quotas(counts: dict[str, int]) -> dict[str, int]:
+    """Per-stratum doc quotas for temperature-0.5 rebalancing:
+    ``quota = floor(sqrt(n))``. Rare languages keep a far larger share
+    than common ones (the multilingual-LM sampling rule of Conneau &
+    Lample 2019 / mT5, alpha = 0.5), and the rounding is ENGINE-EXACT:
+    IEEE-754 sqrt is correctly rounded, and for n < 2^52 the double
+    nearest sqrt(n) never crosses an integer boundary, so
+    ``floor(sqrt(CAST(n AS DOUBLE)))`` in DuckDB equals ``math.isqrt(n)``
+    here for every real-world stratum size."""
+    import math
+    return {k: math.isqrt(int(n)) for k, n in counts.items()}
+
+
+def temperature_sample(ds: rd.Dataset, key: str = "doc_id",
+                       stratum: str = "lang") -> rd.Dataset:
+    """-> the ``floor(sqrt(n_stratum))`` lowest-hash-ranked rows of each
+    stratum: (key, stratum, rk) with ``rk`` the 1-based rank in the
+    stratum's seeded order (md5-high-64 of the key, tie-break key).
+
+    Scale shape (two passes, both cheap):
+      1. stratum counts — partial count inside ``map_batches`` then a
+         tiny ``groupby(stratum)`` (one row per language crosses the
+         exchange); quotas derive driver-side from that bounded table.
+      2. per-stratum top-``quota`` selection — batch-local head (each
+         block forwards at most ``quota`` rows per stratum it contains),
+         then one final head per stratum; the shuffle moves only
+         candidate rows, ≤ quota × blocks, never the corpus.
+    The selected SET is partitioning-independent: membership depends
+    only on a row's own hash rank within its stratum.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(stratum, as_index=False).agg(n=(key, "size"))
+        return g
+
+    counts_tbl = (ds.map_batches(count_partial, batch_format="pandas")
+                  .groupby(stratum)
+                  .aggregate(Sum("n", alias_name="n"))
+                  .take_all())  # bounded: one row per stratum
+    quotas = temperature_quotas({r[stratum]: r["n"] for r in counts_tbl})
+    qref = ray.put(quotas)
+
+    def rank_cols(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+             for v in df[key]), dtype=np.uint64, count=len(df))
+        return pd.DataFrame({
+            key: df[key].astype("int64"),
+            stratum: df[stratum],
+            "__h": h.view(np.int64),  # int64 view keeps Arrow-native sort
+        })
+
+    class LocalHead:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = rank_cols(df)
+            lim = df[stratum].map(self.q).fillna(0).astype("int64")
+            # uint64 order == int64-view order within each sign half;
+            # sort on the original unsigned value to match SQL
+            u = df["__h"].to_numpy().view(np.uint64)
+            df = df.assign(__u=u)
+            df = df.sort_values(["__u", key], kind="mergesort")
+            rk = df.groupby(stratum).cumcount()
+            return df[rk < lim.loc[df.index].to_numpy()] \
+                .drop(columns=["__u"])
+
+    def final_head(g: pd.DataFrame) -> pa.Table:
+        q = quotas.get(g[stratum].iloc[0], 0)
+        u = g["__h"].to_numpy().view(np.uint64)
+        order = np.lexsort((g[key].to_numpy(), u))[:q]
+        sel = g.iloc[order]
+        return pa.table({
+            key: pa.array(sel[key].to_numpy("int64"), pa.int64()),
+            stratum: pa.array(sel[stratum].astype(str), pa.string()),
+            "rk": pa.array(np.arange(1, len(sel) + 1, dtype="int64"),
+                           pa.int64()),
+        })
+
+    cols = ds.select_columns([key, stratum])
+    return (cols.map_batches(LocalHead, batch_format="pandas",
+                             concurrency=2)
+            .groupby(stratum).map_groups(final_head,
+                                         batch_format="pandas"))
