@@ -331,6 +331,15 @@ def _q_temperature_sample(sf_dir: str):
     return temperature_sample(_docs(sf_dir, ["doc_id", "text", "lang"]))
 
 
+def _q_mixed_stream(sf_dir: str):
+    """Proportional source interleaving (T5/Pile mixture schedule):
+    per-source seeded rank -> exact integer midpoint key -> one global
+    order; two sorts + metadata-only driver traffic (see mixing.py)."""
+    from pero_ocr_ray.functions.mixing import interleave_positions
+    return interleave_positions(
+        _docs(sf_dir, ["doc_id", "source"]))
+
+
 def _q_content_hash(sf_dir: str):
     from pero_ocr_ray.functions.textstats import content_hashes
     return content_hashes(_docs(sf_dir))
@@ -1578,6 +1587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_classifier,
         "quality_funnel": _q_quality_funnel,
         "temperature_sample": _q_temperature_sample,
+        "mixed_stream": _q_mixed_stream,
         "doc_content_hash": _q_content_hash,
         "doc_lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
@@ -2589,6 +2599,23 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter": _c4_sql(),
         "quality_classifier": _classifier_sql(),
         "quality_funnel": _funnel_sql(),
+        "mixed_stream": """
+            WITH n AS (SELECT source, count(*) AS ns
+                       FROM documents GROUP BY source),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY md5('mix42:'
+                                        || CAST(doc_id AS VARCHAR)),
+                                    doc_id) - 1 AS rk
+                  FROM documents),
+            k AS (SELECT r.doc_id, r.source, r.rk,
+                         (2 * r.rk + 1) * 1048576 // n.ns AS mix
+                  FROM r JOIN n USING (source))
+            SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+                   CAST(row_number() OVER
+                          (ORDER BY mix, source, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM k""",
         "temperature_sample": """
             WITH c AS (SELECT lang, count(*) AS n
                        FROM documents GROUP BY lang),
