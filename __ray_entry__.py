@@ -322,6 +322,36 @@ def _q_quality_funnel(sf_dir: str):
     return quality_funnel(_docs(sf_dir))
 
 
+def _q_host_quality(sf_dir: str):
+    """Crawl -> trust-list chain: extraction -> hashed classifier (url
+    carried through the scoring pool, no doc_id join) -> per-host
+    mean-quality decision (`domains.host_quality`). The host exchange
+    moves per-host (n, sum) partials only — the standard spam-farm
+    blocklist rollup (a host whose average page quality is negative is
+    dropped wholesale). Whole-chain stacked-CTE SQL oracle."""
+    import pyarrow as pa
+    from pero_ocr_ray.functions.classifier import classify_docs
+    from pero_ocr_ray.functions.domains import host_quality
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        import numpy as np
+        urls = t.column("url").to_pylist()
+        # simple-template urls carry the doc_id as the path tail
+        # (sources/pages.py closed form) — parsed, not joined
+        ids = np.fromiter((int(u.rsplit("/", 1)[1]) for u in urls),
+                          np.int64, len(urls))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": t.column("extracted_text"),
+            "url": t.column("url"),
+        })
+
+    ext = _extract(sf_dir, "simple").map_batches(
+        to_docs, batch_format="pyarrow")
+    scored = classify_docs(ext, carry_cols=("url",))
+    return host_quality(scored)
+
+
 def _q_temperature_sample(sf_dir: str):
     """Temperature-0.5 language rebalancing (Conneau & Lample 2019/mT5):
     per-lang quota floor(sqrt(n)), selection by seeded md5 rank. Two
@@ -1586,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_filter": _q_c4_line_filter,
         "quality_classifier": _q_classifier,
         "quality_funnel": _q_quality_funnel,
+        "host_quality": _q_host_quality,
         "temperature_sample": _q_temperature_sample,
         "mixed_stream": _q_mixed_stream,
         "doc_content_hash": _q_content_hash,
@@ -1827,6 +1858,30 @@ def _funnel_sql() -> str:
         clf AS ({_classifier_sql('s2')})
         SELECT doc_id, n_tokens, clf_score
         FROM clf WHERE keep_doc = 1"""
+
+
+def _host_quality_sql(thr_micro: int = 0) -> str:
+    """Whole-chain mirror of `_q_host_quality`: extraction text (the
+    simple-template closed form), the classifier CTE builder, the
+    urlnorm chain, the shared host regex, and the integer
+    cross-multiplied keep rule — built from the per-stage oracles."""
+    from pero_ocr_ray.functions.domains import HOST_RE_STR
+    return f"""
+        WITH src AS (
+          SELECT doc_id, {_URL_SQL} AS url, {_CANON_SQL} AS text
+          FROM documents),
+        scored AS ({_classifier_sql('src')}),
+        h AS (
+          SELECT regexp_extract({_canon_url_sql_expr('u.url')},
+                                '{HOST_RE_STR}', 1) AS host,
+                 s.clf_score
+          FROM scored s JOIN src u USING (doc_id))
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(clf_score) AS BIGINT) AS sum_score,
+               CAST(CASE WHEN sum(clf_score) >= {thr_micro} * count(*)
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep_host
+        FROM h GROUP BY host"""
 
 
 _ASOF_SQL = """
@@ -2599,6 +2654,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter": _c4_sql(),
         "quality_classifier": _classifier_sql(),
         "quality_funnel": _funnel_sql(),
+        "host_quality": _host_quality_sql(),
         "mixed_stream": """
             WITH n AS (SELECT source, count(*) AS ns
                        FROM documents GROUP BY source),

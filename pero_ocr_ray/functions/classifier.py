@@ -65,13 +65,17 @@ def hashed_weights(n_buckets: int = N_BUCKETS) -> np.ndarray:
 def classify_docs(ds: rd.Dataset, weights: np.ndarray | None = None,
                   n_buckets: int = N_BUCKETS,
                   thr_milli: int = DEFAULT_THR_MILLI,
-                  concurrency: int = 2) -> rd.Dataset:
-    """(doc_id, text) -> (doc_id, n_tokens, clf_score, keep_doc).
+                  concurrency: int = 2,
+                  carry_cols: tuple[str, ...] = ()) -> rd.Dataset:
+    """(doc_id, text) -> (doc_id, n_tokens, clf_score, keep_doc
+    [, *carry_cols]).
 
     ``clf_score`` = sum over tokens of ``weights[md5_high64(token) %
     n_buckets]`` (int64, exact); ``keep_doc`` = 1 iff ``clf_score * 1000
     >= thr_milli * n_tokens``. Token-less docs score 0 and are kept iff
     ``thr_milli <= 0`` (0 >= thr*0 is the same rule; both engines agree).
+    ``carry_cols`` ride through unchanged (output is 1:1 with input rows)
+    so downstream host/domain aggregations need no doc_id join.
     """
     w = hashed_weights(n_buckets) if weights is None else \
         np.asarray(weights, np.int64)
@@ -100,12 +104,15 @@ def classify_docs(ds: rd.Dataset, weights: np.ndarray | None = None,
             else:
                 score = np.zeros(len(df), np.int64)
             keep = (score * 1000 >= thr_milli * counts).astype("int64")
-            return pa.table({
+            out = {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "n_tokens": pa.array(counts, pa.int64()),
                 "clf_score": pa.array(score, pa.int64()),
                 "keep_doc": pa.array(keep, pa.int64()),
-            })
+            }
+            for c in carry_cols:
+                out[c] = pa.array(df[c])
+            return pa.table(out)
 
     return ds.map_batches(Score, batch_format="pandas",
                           concurrency=concurrency)

@@ -152,3 +152,47 @@ def cap_per_domain(ds: rd.Dataset, cap: int, url_col: str = "url",
 
     return (ds.map_batches(add_host, batch_format="pandas")
               .groupby("__host").map_groups(keep, batch_format="pandas"))
+
+
+def host_quality(scored: rd.Dataset, thr_micro: int = 0,
+                 url_col: str = "url",
+                 score_col: str = "clf_score") -> rd.Dataset:
+    """Domain-level trust list from doc-level quality scores:
+    (``url_col``, ``score_col``) rows -> (host, n_docs, sum_score,
+    keep_host) with ``keep_host = 1`` iff ``sum_score >= thr_micro *
+    n_docs`` (mean micro-units per doc, integer cross-multiplication —
+    no float averages to drift between engines).
+
+    The standard follow-on to a quality classifier: hosts whose average
+    page quality is poor get blocklisted wholesale (cheaper and more
+    robust than per-page decisions for spam farms). Scale shape is the
+    ``domain_counts`` combiner: per-batch partial (host, n, sum) rows,
+    then one tiny ``groupby(host)`` — the exchange moves per-host
+    partials, never pages. Urls are canonicalized first so host case /
+    default ports collapse (kernels/urlnorm.py chain).
+    """
+    canon = canonicalize_urls(scored, url_col=url_col, out_col="__cu")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hosts = df["__cu"].str.extract(HOST_RE_STR, expand=False).fillna("")
+        return (pd.DataFrame({"host": hosts,
+                              "s": df[score_col].astype("int64")})
+                .groupby("host", as_index=False)
+                .agg(n_partial=("s", "size"), s_partial=("s", "sum")))
+
+    agg = (canon.map_batches(partial, batch_format="pandas")
+           .groupby("host").aggregate(
+               Sum("n_partial", alias_name="n_docs"),
+               Sum("s_partial", alias_name="sum_score")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_docs"].astype("int64")
+        s = df["sum_score"].astype("int64")
+        return pd.DataFrame({
+            "host": df["host"].astype(str),
+            "n_docs": n,
+            "sum_score": s,
+            "keep_host": (s >= thr_micro * n).astype("int64"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")

@@ -81,3 +81,36 @@ def test_gate_sql_parity_small():
     ray_out = _run(docs)
     for c in ["n_tokens", "clf_score", "keep_doc"]:
         assert ray_out[c].astype("int64").equals(sql[c].astype("int64")), c
+
+
+def test_carry_cols_ride_through():
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["alpha", "beta"],
+                         "url": ["https://a.example/x", "https://b.example/y"]})
+    out = _run(docs, carry_cols=("url",))
+    assert list(out["url"]) == list(docs["url"])
+    base = _run(docs[["doc_id", "text"]])
+    for c in ["n_tokens", "clf_score", "keep_doc"]:
+        assert out[c].equals(base[c]), c
+
+
+def test_host_quality_rollup():
+    from pero_ocr_ray.functions.domains import host_quality
+    # host a: scores sum negative -> dropped; host b: positive -> kept
+    scored = pd.DataFrame({
+        "url": ["https://a.example/1", "https://a.example/2",
+                "https://B.example:443/1"],
+        "clf_score": [-5, 2, 4],
+    })
+    out = pa.table(host_quality(rd.from_pandas(scored))
+                   .take_batch(100, batch_format="pyarrow")).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    # canonicalization lowercases the host and strips the default port
+    assert list(out["host"]) == ["a.example", "b.example"]
+    assert list(out["n_docs"]) == [2, 1]
+    assert list(out["sum_score"]) == [-3, 4]
+    assert list(out["keep_host"]) == [0, 1]
+    # mean threshold: host b mean 4 -> dropped at thr_micro=5
+    out5 = pa.table(host_quality(rd.from_pandas(scored), thr_micro=5)
+                    .take_batch(100, batch_format="pyarrow")).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    assert list(out5["keep_host"]) == [0, 0]
