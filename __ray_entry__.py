@@ -352,6 +352,33 @@ def _q_host_quality(sf_dir: str):
     return host_quality(scored)
 
 
+def _q_quality_upsample(sf_dir: str):
+    """Quality-weighted epoch plan: classifier scores -> per-tier copy
+    counts (2x for mean >= 500 milli, 1x for non-negative, drop the
+    rest) with seeded md5 order keys. Zero shuffle end-to-end: the
+    classifier pool streams into the row-expansion map."""
+    from pero_ocr_ray.functions.classifier import classify_docs
+    from pero_ocr_ray.functions.sampling import quality_upsample
+    return quality_upsample(classify_docs(_docs(sf_dir)))
+
+
+def _q_bitext_pairs(sf_dir: str):
+    """Bitext mining (CCMatrix mutual-best shape, exact-integer core):
+    embeddings quantized to int32 blobs (floor(x*2^12) — bit-exact in
+    both engines), lang attached by a native join (binary payload, no
+    list<> through Acero), then the pair-grid sweep + two bucketed
+    reductions from functions/bitext.py. No broadcast, no take_all."""
+    import os as _os
+    from pero_ocr_ray.functions.bitext import mine_bitext, quantize_pack
+    from pero_ocr_ray.functions.join import hash_join
+    emb = rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    langs = _docs(sf_dir, ["doc_id", "lang"])
+    joined = hash_join(quantize_pack(emb), langs,
+                       on="vec_id", right_on="doc_id")
+    return mine_bitext(joined, src_lang="en", tgt_lang="de")
+
+
 def _q_temperature_sample(sf_dir: str):
     """Temperature-0.5 language rebalancing (Conneau & Lample 2019/mT5):
     per-lang quota floor(sqrt(n)), selection by seeded md5 rank. Two
@@ -1617,6 +1644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_classifier,
         "quality_funnel": _q_quality_funnel,
         "host_quality": _q_host_quality,
+        "quality_upsample": _q_quality_upsample,
+        "bitext_pairs": _q_bitext_pairs,
         "temperature_sample": _q_temperature_sample,
         "mixed_stream": _q_mixed_stream,
         "doc_content_hash": _q_content_hash,
@@ -1882,6 +1911,57 @@ def _host_quality_sql(thr_micro: int = 0) -> str:
                CAST(CASE WHEN sum(clf_score) >= {thr_micro} * count(*)
                     THEN 1 ELSE 0 END AS BIGINT) AS keep_host
         FROM h GROUP BY host"""
+
+
+def _quality_upsample_sql(hi_milli: int = 500, hi_repeats: int = 2,
+                          seed: int = 42) -> str:
+    """Mirror of `functions/sampling.py:quality_upsample`: the classifier
+    CTE builder + integer tier rule + generate_series row expansion +
+    the seeded md5 order-key convention."""
+    return f"""
+        WITH scored AS ({_classifier_sql('documents')}),
+        r AS (
+          SELECT doc_id,
+                 CASE WHEN clf_score * 1000 >= {hi_milli} * n_tokens
+                           AND n_tokens > 0 THEN {hi_repeats}
+                      WHEN clf_score >= 0 THEN 1
+                      ELSE 0 END AS reps
+          FROM scored),
+        e AS (
+          SELECT r.doc_id, gs.g AS copy_idx
+          FROM r JOIN generate_series(0, {hi_repeats - 1}) gs(g)
+            ON gs.g < r.reps)
+        SELECT doc_id, CAST(copy_idx AS BIGINT) AS copy_idx,
+               md5('epoch{seed}:' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(copy_idx AS VARCHAR)) AS order_key
+        FROM e"""
+
+
+def _bitext_sql(src_lang: str = "en", tgt_lang: str = "de",
+                scale_pow: int = 12) -> str:
+    """Mirror of `functions/bitext.py`: floor(x * 2^scale_pow) is
+    bit-exact on both engines (power-of-two multiply), the dot product
+    of the quantized vectors is < 2^31 so DuckDB's double-summing
+    list_dot_product is integer-exact, and the mutual-best criterion is
+    two row_number windows with the shared (dot DESC, id ASC) tie-break."""
+    q = (f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+         f"* {1 << scale_pow}) AS BIGINT))")
+    return f"""
+        WITH e AS (
+          SELECT em.vec_id, d.lang, {q} AS q
+          FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id),
+        s AS (
+          SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+                 CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot_q
+          FROM e a JOIN e b ON a.lang = '{src_lang}'
+                           AND b.lang = '{tgt_lang}'),
+        f AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                        ORDER BY dot_q DESC, tgt_id) AS rf FROM s),
+        g AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+                        ORDER BY dot_q DESC, src_id) AS rg FROM s)
+        SELECT f.src_id, f.tgt_id, f.dot_q
+        FROM f JOIN g ON f.src_id = g.src_id AND f.tgt_id = g.tgt_id
+        WHERE f.rf = 1 AND g.rg = 1"""
 
 
 _ASOF_SQL = """
@@ -2655,6 +2735,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _classifier_sql(),
         "quality_funnel": _funnel_sql(),
         "host_quality": _host_quality_sql(),
+        "quality_upsample": _quality_upsample_sql(),
+        "bitext_pairs": _bitext_sql(),
         "mixed_stream": """
             WITH n AS (SELECT source, count(*) AS ns
                        FROM documents GROUP BY source),

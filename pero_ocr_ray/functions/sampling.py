@@ -140,3 +140,46 @@ def temperature_sample(ds: rd.Dataset, key: str = "doc_id",
                              concurrency=2)
             .groupby(stratum).map_groups(final_head,
                                          batch_format="pandas"))
+
+
+def quality_upsample(scored: rd.Dataset, hi_milli: int = 500,
+                     hi_repeats: int = 2, seed: int = 42) -> rd.Dataset:
+    """Quality-weighted epoch plan (FineWeb-Edu / DoReMi-style static
+    upsampling): (doc_id, n_tokens, clf_score) -> one row per TRAINING
+    COPY (doc_id, copy_idx, order_key).
+
+    Tiering is the integer cross-multiplication on the mean token score
+    (milli-units, no floats): docs with ``clf_score * 1000 >= hi_milli *
+    n_tokens`` (and at least one token) emit ``hi_repeats`` copies; docs
+    with ``clf_score >= 0`` emit one; the rest are dropped. ``order_key``
+    = ``md5("epoch{seed}:{doc_id}:{copy_idx}")`` — the seeded-shuffle
+    convention (functions/shuffle.py), so sorting by it interleaves the
+    repeats pseudo-randomly through the stream; the operator itself is a
+    pure streaming map (ZERO shuffle — the sort belongs to the consumer,
+    and the gate hash is order-insensitive). One md5 per emitted copy
+    (per-document, not per-token — same cost class as the shuffle key).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def expand(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].to_numpy("int64")
+        n = df["n_tokens"].to_numpy("int64")
+        s = df["clf_score"].to_numpy("int64")
+        hi = (s * 1000 >= hi_milli * n) & (n > 0)
+        reps = np.where(hi, hi_repeats,
+                        np.where(s >= 0, 1, 0)).astype(np.int64)
+        out_ids = np.repeat(ids, reps)
+        ends = np.cumsum(reps)
+        copy_idx = (np.arange(int(ends[-1]) if len(ends) else 0,
+                              dtype=np.int64)
+                    - np.repeat(ends - reps, reps))
+        keys = [hashlib.md5(f"epoch{seed}:{i}:{c}".encode()).hexdigest()
+                for i, c in zip(out_ids, copy_idx)]
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "copy_idx": pa.array(copy_idx, pa.int64()),
+            "order_key": pa.array(keys, pa.string()),
+        })
+
+    return scored.map_batches(expand, batch_format="pandas")

@@ -1,0 +1,81 @@
+"""Bitext mining: quantization exactness, mutual-best semantics,
+grid-partitioning invariance, and small SQL parity."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from pero_ocr_ray.functions.bitext import (SCALE_POW, mine_bitext,
+                                           quantize_pack)
+
+
+def _emb_table(vecs, ids=None):
+    ids = list(range(len(vecs))) if ids is None else ids
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+
+
+def _mine(vecs, langs, grid=4, ids=None):
+    t = _emb_table(vecs, ids)
+    qe = quantize_pack(rd.from_arrow(t))
+    df = qe.take_batch(1000, batch_format="pandas")
+    df["lang"] = langs
+    out = mine_bitext(rd.from_pandas(df), "en", "de", grid=grid).to_pandas()
+    if len(out) == 0:  # empty blocks skip UDFs -> schema-less empty frame
+        return out
+    return out.sort_values(["src_id", "tgt_id"]).reset_index(drop=True)
+
+
+def test_quantize_matches_floor():
+    t = _emb_table([[0.5, -0.25], [0.1, 0.3]])
+    out = quantize_pack(rd.from_arrow(t)).take_batch(10,
+                                                     batch_format="pandas")
+    q0 = np.frombuffer(out.loc[0, "qv"], np.int32)
+    assert list(q0) == [int(np.floor(0.5 * 2 ** SCALE_POW)),
+                        int(np.floor(-0.25 * 2 ** SCALE_POW))]
+
+
+def test_mutual_best_pairs_and_tiebreak():
+    # en0 <-> de2 mutual; en1 <-> de3 mutual
+    vecs = [[1.0, 0.0], [0.2, 0.9], [0.99, 0.05], [0.0, 1.0]]
+    langs = ["en", "en", "de", "de"]
+    out = _mine(vecs, langs)
+    assert list(zip(out["src_id"], out["tgt_id"])) == [(0, 2), (1, 3)]
+
+    # one-sided best is NOT enough: en1's best de2, de2 prefers en0
+    vecs2 = [[1.0, 0.0], [0.8, 0.55], [0.99, 0.05], [0.0, 1.0]]
+    out2 = _mine(vecs2, langs)
+    assert list(zip(out2["src_id"], out2["tgt_id"])) == [(0, 2)]
+
+
+def test_grid_invariance_and_sql_parity():
+    rng = np.random.RandomState(7)
+    n = 40
+    vecs = rng.uniform(-0.4, 0.4, size=(n, 8))
+    langs = ["en", "de", "fr", "de", "en"] * (n // 5)
+    outs = [_mine(vecs, langs, grid=g) for g in (1, 3, 8)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+
+    import importlib
+    mod = importlib.import_module("__ray_entry__")
+    con = duckdb.connect()
+    con.register("embeddings", _emb_table(vecs).to_pandas())
+    con.register("documents", pd.DataFrame(
+        {"doc_id": range(n), "lang": langs}))
+    sql = con.execute(mod._bitext_sql()).df() \
+        .sort_values(["src_id", "tgt_id"]).reset_index(drop=True)
+    assert len(sql) == len(outs[0]) > 0
+    for c in ["src_id", "tgt_id", "dot_q"]:
+        assert list(sql[c].astype("int64")) == list(outs[0][c]), c
+
+
+def test_empty_side_yields_no_pairs():
+    out = _mine([[0.1, 0.2], [0.3, 0.1]], ["en", "en"])
+    assert len(out) == 0

@@ -114,3 +114,39 @@ def test_host_quality_rollup():
                     .take_batch(100, batch_format="pyarrow")).to_pandas() \
         .sort_values("host").reset_index(drop=True)
     assert list(out5["keep_host"]) == [0, 0]
+
+
+def test_quality_upsample_tiers_and_sql_parity():
+    import importlib
+    from pero_ocr_ray.functions.sampling import quality_upsample
+    scored = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                           "n_tokens": [10, 10, 0, 5],
+                           "clf_score": [6000, -1, 0, 1]})
+    out = pa.table(quality_upsample(rd.from_pandas(scored))
+                   .take_batch(100, batch_format="pyarrow")).to_pandas() \
+        .sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    # doc1 mean 600 -> 2 copies; doc2 negative -> dropped;
+    # doc3 token-less score-0 -> 1; doc4 mean 200 -> 1
+    assert list(zip(out["doc_id"], out["copy_idx"])) == \
+        [(1, 0), (1, 1), (3, 0), (4, 0)]
+    k = hashlib.md5(b"epoch42:1:1").hexdigest()
+    assert out.loc[1, "order_key"] == k
+
+    # end-to-end SQL parity on real text through the classifier CTE
+    mod = importlib.import_module("__ray_entry__")
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha beta gamma", "", "the quick brown fox"],
+    })
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql = con.execute(mod._quality_upsample_sql()).df() \
+        .sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    from pero_ocr_ray.functions.classifier import classify_docs
+    ray_out = pa.table(
+        quality_upsample(classify_docs(rd.from_pandas(docs)))
+        .take_batch(100, batch_format="pyarrow")).to_pandas() \
+        .sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    assert len(sql) == len(ray_out)
+    for c in ["doc_id", "copy_idx", "order_key"]:
+        assert list(sql[c]) == list(ray_out[c]), c
