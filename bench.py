@@ -39,12 +39,21 @@ def loadavg1() -> float:
         return float(fh.read().split()[0])
 
 
-def ensure_bench_pages(sf_dir: str, shards: int = 32) -> tuple[str, int, int]:
-    """Synthesize (once) the bench pages table -> (dir, n_rows, html_bytes)."""
+def ensure_bench_pages(sf_dir: str, shards: int = 32,
+                       mult: int | None = None) -> tuple[str, int, int]:
+    """Synthesize (once) the bench pages table -> (dir, n_rows, html_bytes).
+
+    ``mult`` (env BENCH_MULT) scales the documents row count. Headline
+    default 8 (~40k pages at sf0.1, seconds-long runs). --scaling uses 64:
+    the run's parallelism-INDEPENDENT cost (driver planning, stage
+    spin-up; measured ~1.7 s by fitting T(c) = S + P/c across the 2/8/32
+    logs) is 38% of a 4.5 s 32-cpu run and would masquerade as scaling
+    loss — a real multi-hour job amortizes it to nothing, so the scaling
+    measurement uses enough data that it does here too."""
     import pyarrow.parquet as pq
-    # 8x the documents row count: long enough that fixed per-run cost
-    # (driver planning, pool ramp) amortizes as it would in a real job
-    n_docs = 8 * pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    if mult is None:
+        mult = int(os.environ.get("BENCH_MULT", "8"))
+    n_docs = mult * pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     out_dir = os.path.join(CACHE_ROOT, f"{CACHE_VERSION}_n{n_docs}")
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):
@@ -159,11 +168,14 @@ def run_scaling(cl: int | None = None, ch: int | None = None) -> dict:
     cl = cl or int(os.environ.get("BENCH_CPUS_LOW", "8"))
     ch = ch or int(os.environ.get("BENCH_CPUS_HIGH", "32"))
     """Same job, fresh processes, two parallelism levels -> efficiency."""
-    ensure_bench_pages(SF_DIR)  # build cache before timing anything
+    # 64x input for scaling legs (see ensure_bench_pages: amortizes the
+    # fixed per-run serial cost the way a real long-running job does)
+    mult = os.environ.get("BENCH_MULT", "64")
+    ensure_bench_pages(SF_DIR, mult=int(mult))  # build cache before timing
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
-                   BENCH_SKIP_QUERIES="1")
+                   BENCH_SKIP_QUERIES="1", BENCH_MULT=mult)
         proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                               env=env, capture_output=True, text=True,
                               cwd=REPO)
