@@ -379,6 +379,24 @@ def _q_bitext_pairs(sf_dir: str):
     return mine_bitext(joined, src_lang="en", tgt_lang="de")
 
 
+def _q_bitext_margin(sf_dir: str):
+    """Ratio-margin bitext mining (Artetxe & Schwenk 2019), float-free:
+    mutual-best pairs kept iff dot * 2k * 1000 >= 1200 * (top-k fwd sum
+    + top-k bwd sum) — the cross-multiplied margin >= 1.2 rule. Top-k
+    sums reduce exactly from per-shard top-ks; sums attach to pairs via
+    two bucketed tag/union merges of id+score rows."""
+    import os as _os
+    from pero_ocr_ray.functions.bitext import mine_bitext, quantize_pack
+    from pero_ocr_ray.functions.join import hash_join
+    emb = rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    langs = _docs(sf_dir, ["doc_id", "lang"])
+    joined = hash_join(quantize_pack(emb), langs,
+                       on="vec_id", right_on="doc_id")
+    return mine_bitext(joined, src_lang="en", tgt_lang="de",
+                       margin_k=4, margin_thr_milli=1200)
+
+
 def _q_temperature_sample(sf_dir: str):
     """Temperature-0.5 language rebalancing (Conneau & Lample 2019/mT5):
     per-lang quota floor(sqrt(n)), selection by seeded md5 rank. Two
@@ -1646,6 +1664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quality": _q_host_quality,
         "quality_upsample": _q_quality_upsample,
         "bitext_pairs": _q_bitext_pairs,
+        "bitext_margin_pairs": _q_bitext_margin,
         "temperature_sample": _q_temperature_sample,
         "mixed_stream": _q_mixed_stream,
         "doc_content_hash": _q_content_hash,
@@ -1937,8 +1956,9 @@ def _quality_upsample_sql(hi_milli: int = 500, hi_repeats: int = 2,
         FROM e"""
 
 
-def _bitext_sql(src_lang: str = "en", tgt_lang: str = "de",
-                scale_pow: int = 12) -> str:
+def _bitext_sql_base(src_lang: str, tgt_lang: str, scale_pow: int,
+                     margin: str, proj: str, frm: str,
+                     where: str) -> str:
     """Mirror of `functions/bitext.py`: floor(x * 2^scale_pow) is
     bit-exact on both engines (power-of-two multiply), the dot product
     of the quantized vectors is < 2^31 so DuckDB's double-summing
@@ -1958,10 +1978,44 @@ def _bitext_sql(src_lang: str = "en", tgt_lang: str = "de",
         f AS (SELECT *, row_number() OVER (PARTITION BY src_id
                         ORDER BY dot_q DESC, tgt_id) AS rf FROM s),
         g AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
-                        ORDER BY dot_q DESC, src_id) AS rg FROM s)
-        SELECT f.src_id, f.tgt_id, f.dot_q
-        FROM f JOIN g ON f.src_id = g.src_id AND f.tgt_id = g.tgt_id
-        WHERE f.rf = 1 AND g.rg = 1"""
+                        ORDER BY dot_q DESC, src_id) AS rg FROM s){margin}
+        SELECT {proj}
+        FROM {frm}
+        WHERE {where}"""
+
+
+def _bitext_sql(src_lang: str = "en", tgt_lang: str = "de",
+                scale_pow: int = 12) -> str:
+    return _bitext_sql_base(src_lang, tgt_lang, scale_pow,
+                            margin="",
+                            proj="f.src_id, f.tgt_id, f.dot_q",
+                            frm=("f JOIN g ON f.src_id = g.src_id "
+                                 "AND f.tgt_id = g.tgt_id"),
+                            where="f.rf = 1 AND g.rg = 1")
+
+
+def _bitext_margin_sql(src_lang: str = "en", tgt_lang: str = "de",
+                       scale_pow: int = 12, k: int = 4,
+                       thr_milli: int = 1200) -> str:
+    """Ratio-margin mirror: top-k sums via the same (dot DESC, id) rank
+    windows (a k-boundary tie contributes the same VALUE whichever
+    partner wins the rank, so the sums — and therefore the integer
+    cross-multiplied keep rule — are engine-exact)."""
+    margin = f""",
+        m AS (SELECT f.src_id, f.tgt_id, f.dot_q
+              FROM f JOIN g ON f.src_id = g.src_id
+                           AND f.tgt_id = g.tgt_id
+              WHERE f.rf = 1 AND g.rg = 1),
+        kf AS (SELECT src_id, sum(dot_q) AS s FROM f
+               WHERE rf <= {k} GROUP BY src_id),
+        kg AS (SELECT tgt_id, sum(dot_q) AS s FROM g
+               WHERE rg <= {k} GROUP BY tgt_id)"""
+    return _bitext_sql_base(
+        src_lang, tgt_lang, scale_pow, margin=margin,
+        proj="m.src_id, m.tgt_id, m.dot_q",
+        frm="m JOIN kf USING (src_id) JOIN kg USING (tgt_id)",
+        where=(f"m.dot_q * {2 * k * 1000} >= {thr_milli} "
+               f"* (kf.s + kg.s)"))
 
 
 _ASOF_SQL = """
@@ -2737,6 +2791,7 @@ def oracle_sql() -> dict[str, str]:
         "host_quality": _host_quality_sql(),
         "quality_upsample": _quality_upsample_sql(),
         "bitext_pairs": _bitext_sql(),
+        "bitext_margin_pairs": _bitext_margin_sql(),
         "mixed_stream": """
             WITH n AS (SELECT source, count(*) AS ns
                        FROM documents GROUP BY source),

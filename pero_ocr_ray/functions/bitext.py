@@ -81,10 +81,23 @@ def quantize_pack(emb: rd.Dataset, id_col: str = "vec_id",
 
 def mine_bitext(ds: rd.Dataset, src_lang: str, tgt_lang: str,
                 id_col: str = "vec_id", lang_col: str = "lang",
-                grid: int = 4) -> rd.Dataset:
+                grid: int = 4, margin_k: int | None = None,
+                margin_thr_milli: int = 1000) -> rd.Dataset:
     """(id, lang, qv) -> (src_id, tgt_id, dot_q): pairs that are mutual
     nearest neighbors (exact int64 dot product) between the two language
-    sides. Rows in other languages are dropped in the expansion map."""
+    sides. Rows in other languages are dropped in the expansion map.
+
+    ``margin_k`` adds the Artetxe & Schwenk (2019) ratio-margin filter on
+    top of the intersection criterion, float-free: keep a mutual pair iff
+    ``dot * 2 * k * 1000 >= margin_thr_milli * (sum_topk_fwd +
+    sum_topk_bwd)`` — the cross-multiplied form of ``dot / ((fwd_avg +
+    bwd_avg) / 2) >= thr``. The top-k dot SUMS are exact int64 and
+    boundary-tie-proof (a tie at the k-th rank contributes the same value
+    whichever partner wins it), so any threshold is engine-safe. Each
+    shard contributes its local top-k per id; the global top-k is reduced
+    from those (top-k of a union of per-shard top-ks is exact). The
+    candidate stream is materialized once — it is ids+scores only, never
+    payloads — because three consumers branch from it."""
 
     def expand(df: pd.DataFrame) -> pa.Table:
         ids_l, qv_l, pair_l, side_l = [], [], [], []
@@ -130,21 +143,43 @@ def mine_bitext(ds: rd.Dataset, src_lang: str, tgt_lang: str,
         # ids sorted ascending -> argmax's first-max IS the smallest tie id
         jf = S.argmax(axis=1)
         ib = S.argmax(axis=0)
+        kinds = [np.zeros(len(aid), np.int64), np.ones(len(bid), np.int64)]
+        keys = [aid, bid]
+        partners = [bid[jf], aid[ib]]
+        scores = [S[np.arange(len(aid)), jf], S[ib, np.arange(len(bid))]]
+        if margin_k:
+            # local top-k dot VALUES per id (kinds 2/3): the global
+            # top-k reduces from each shard's k best
+            kf = min(margin_k, len(bid))
+            kb = min(margin_k, len(aid))
+            tf = np.partition(S, len(bid) - kf, axis=1)[:, len(bid) - kf:]
+            tb = np.partition(S, len(aid) - kb, axis=0)[len(aid) - kb:, :]
+            kinds += [np.full(len(aid) * kf, 2, np.int64),
+                      np.full(len(bid) * kb, 3, np.int64)]
+            keys += [np.repeat(aid, kf), np.repeat(bid, kb)]
+            partners += [np.full(len(aid) * kf, -1, np.int64),
+                         np.full(len(bid) * kb, -1, np.int64)]
+            scores += [tf.ravel(), tb.T.ravel()]
         return pa.table({
-            "kind": pa.array(np.concatenate([
-                np.zeros(len(aid), np.int64), np.ones(len(bid), np.int64)])),
-            "key": pa.array(np.concatenate([aid, bid]), pa.int64()),
-            "partner": pa.array(np.concatenate([bid[jf], aid[ib]]),
-                                pa.int64()),
-            "score": pa.array(np.concatenate(
-                [S[np.arange(len(aid)), jf], S[ib, np.arange(len(bid))]]),
-                pa.int64()),
+            "kind": pa.array(np.concatenate(kinds), pa.int64()),
+            "key": pa.array(np.concatenate(keys), pa.int64()),
+            "partner": pa.array(np.concatenate(partners), pa.int64()),
+            "score": pa.array(np.concatenate(scores), pa.int64()),
         })
 
     def global_best(g: pd.DataFrame) -> pa.Table:
-        best = (g.sort_values(["key", "score", "partner"],
-                              ascending=[True, False, True])
-                .groupby("key", as_index=False).head(1))
+        if g["kind"].iat[0] >= 2:  # buckets are single-kind by key design
+            # global top-k VALUES per id (from per-shard top-ks), summed
+            topk = (g.sort_values(["key", "score"],
+                                  ascending=[True, False])
+                    .groupby("key", as_index=False).head(margin_k))
+            summed = topk.groupby(["kind", "key"], as_index=False) \
+                .agg(score=("score", "sum"))
+            best = summed.assign(partner=np.int64(-1))
+        else:
+            best = (g.sort_values(["key", "score", "partner"],
+                                  ascending=[True, False, True])
+                    .groupby("key", as_index=False).head(1))
         return pa.table({
             "kind": pa.array(best["kind"].to_numpy("int64"), pa.int64()),
             "key": pa.array(best["key"].to_numpy("int64"), pa.int64()),
@@ -174,6 +209,49 @@ def mine_bitext(ds: rd.Dataset, src_lang: str, tgt_lang: str,
             "dot_q": pa.array(m["score"].to_numpy("int64"), pa.int64()),
         })
 
+    def margin_join(pairs: rd.Dataset, sums: rd.Dataset, on: str,
+                    carry: list, out: str) -> rd.Dataset:
+        """Attach one id-keyed int64 sum to pair rows: tag/union/bucket/
+        vectorized-merge (the grouped-join pattern; all rows are ids +
+        scores, never payloads)."""
+        def tp(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            d = {"__j": t.column(on).cast(pa.int64())}
+            for c in carry:
+                d[c] = t.column(c)
+            d["__sumv"] = pa.array(np.zeros(n, np.int64), pa.int64())
+            d["__tag"] = pa.array(np.zeros(n, np.int64), pa.int64())
+            return pa.table(d)
+
+        def ts(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            d = {"__j": t.column("key").cast(pa.int64())}
+            for c in carry:
+                d[c] = pa.array(np.zeros(n, np.int64), pa.int64())
+            d["__sumv"] = t.column("score").cast(pa.int64())
+            d["__tag"] = pa.array(np.ones(n, np.int64), pa.int64())
+            return pa.table(d)
+
+        u = pairs.map_batches(tp, batch_format="pyarrow").union(
+            sums.map_batches(ts, batch_format="pyarrow"))
+        u = u.map_batches(
+            lambda t: t.append_column(
+                "__mb", pa.array(t.column("__j").to_numpy() % _NB,
+                                 pa.int64())),
+            batch_format="pyarrow")
+
+        def m(g: pd.DataFrame) -> pa.Table:
+            p = g[g["__tag"] == 0]
+            s = g[g["__tag"] == 1][["__j", "__sumv"]] \
+                .rename(columns={"__sumv": out})
+            r = p.drop(columns=["__sumv", "__tag", "__mb"]) \
+                .merge(s, on="__j")
+            return pa.table({c: pa.array(r[c].to_numpy("int64"),
+                                         pa.int64())
+                             for c in carry + [out]})
+
+        return u.groupby("__mb").map_groups(m, batch_format="pandas")
+
     cands = (ds.map_batches(expand, batch_format="pandas")
              .groupby("__pair").map_groups(shard_best,
                                            batch_format="pandas"))
@@ -184,5 +262,25 @@ def mine_bitext(ds: rd.Dataset, src_lang: str, tgt_lang: str,
                              pa.int64())),
         batch_format="pyarrow")
         .groupby("__rb").map_groups(global_best, batch_format="pandas"))
-    return (reduced.map_batches(pair_bucket, batch_format="pyarrow")
-            .groupby("__pb").map_groups(mutual, batch_format="pandas"))
+    if margin_k:
+        reduced = reduced.materialize()  # ids+scores only; 3 consumers
+    best = reduced if not margin_k else reduced.filter(expr="kind < 2")
+    pairs = (best.map_batches(pair_bucket, batch_format="pyarrow")
+             .groupby("__pb").map_groups(mutual, batch_format="pandas"))
+    if not margin_k:
+        return pairs
+
+    joined = margin_join(
+        margin_join(pairs, reduced.filter(expr="kind == 2"), "src_id",
+                    ["src_id", "tgt_id", "dot_q"], "sum_fwd"),
+        reduced.filter(expr="kind == 3"), "tgt_id",
+        ["src_id", "tgt_id", "dot_q", "sum_fwd"], "sum_bwd")
+
+    def keep(t: pa.Table) -> pa.Table:
+        dot = t.column("dot_q").to_numpy()
+        tot = t.column("sum_fwd").to_numpy() + t.column("sum_bwd").to_numpy()
+        mask = dot * (2 * margin_k * 1000) >= margin_thr_milli * tot
+        return t.filter(pa.array(mask)).select(["src_id", "tgt_id",
+                                                "dot_q"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")

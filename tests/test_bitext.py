@@ -79,3 +79,58 @@ def test_grid_invariance_and_sql_parity():
 def test_empty_side_yields_no_pairs():
     out = _mine([[0.1, 0.2], [0.3, 0.1]], ["en", "en"])
     assert len(out) == 0
+
+
+def _mine_margin(vecs, langs, k=2, thr=1000, grid=3, ids=None):
+    t = _emb_table(vecs, ids)
+    qe = quantize_pack(rd.from_arrow(t))
+    df = qe.take_batch(1000, batch_format="pandas")
+    df["lang"] = langs
+    out = mine_bitext(rd.from_pandas(df), "en", "de", grid=grid,
+                      margin_k=k, margin_thr_milli=thr).to_pandas()
+    if len(out) == 0:
+        return out
+    return out.sort_values(["src_id", "tgt_id"]).reset_index(drop=True)
+
+
+def test_margin_filters_low_margin_pairs():
+    vecs = [[0.4, 0.0], [0.28, 0.3], [0.4, 0.01], [0.27, 0.31]]
+    langs = ["en", "en", "de", "de"]
+    all_pairs = _mine_margin(vecs, langs, k=2, thr=-10**6)
+    assert list(zip(all_pairs["src_id"], all_pairs["tgt_id"])) == \
+        [(0, 2), (1, 3)]
+    # exact integer keep-threshold per pair: kept iff
+    # thr <= dot*2k*1000 // (sumk_fwd + sumk_bwd)
+    q = np.floor(np.array(vecs) * 2 ** SCALE_POW).astype(np.int64)
+    S = q[:2] @ q[2:].T  # en x de; k=2 tops = whole row/col sums
+    t = {}
+    for (i, j) in [(0, 0), (1, 1)]:
+        rhs = int(S[i, :].sum()) + int(S[:, j].sum())
+        t[(i, j)] = int(S[i, j]) * 2 * 2 * 1000 // rhs
+    lo, hi = sorted(t.items(), key=lambda kv: kv[1])
+    both = _mine_margin(vecs, langs, k=2, thr=lo[1])
+    assert len(both) == 2
+    only_hi = _mine_margin(vecs, langs, k=2, thr=lo[1] + 1)
+    assert list(zip(only_hi["src_id"], only_hi["tgt_id"])) == \
+        [(hi[0][0], hi[0][1] + 2)]
+    none = _mine_margin(vecs, langs, k=2, thr=hi[1] + 1)
+    assert len(none) == 0
+
+
+def test_margin_sql_parity():
+    import importlib
+    rng = np.random.RandomState(11)
+    n = 40
+    vecs = rng.uniform(-0.4, 0.4, size=(n, 8))
+    langs = ["en", "de", "fr", "de", "en"] * (n // 5)
+    ray_out = _mine_margin(vecs, langs, k=3, thr=1100, grid=4)
+    mod = importlib.import_module("__ray_entry__")
+    con = duckdb.connect()
+    con.register("embeddings", _emb_table(vecs).to_pandas())
+    con.register("documents", pd.DataFrame(
+        {"doc_id": range(n), "lang": langs}))
+    sql = con.execute(mod._bitext_margin_sql(k=3, thr_milli=1100)).df() \
+        .sort_values(["src_id", "tgt_id"]).reset_index(drop=True)
+    assert len(sql) == len(ray_out)
+    for c in ["src_id", "tgt_id", "dot_q"]:
+        assert list(sql[c].astype("int64")) == list(ray_out[c]), c
