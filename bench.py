@@ -64,17 +64,30 @@ def ensure_bench_pages(sf_dir: str, shards: int = 32,
     from pero_ocr_ray.sources.pages import synthesize_pages
     tmp = out_dir + ".tmp"
     os.makedirs(tmp, exist_ok=True)
-    pages = synthesize_pages(n_docs, seed=42)
-    html_bytes = int(pc.sum(pc.binary_length(pages.column("html"))).as_py())
-    per = (pages.num_rows + shards - 1) // shards
-    for k in range(shards):
-        part = pages.slice(k * per, per)
-        if part.num_rows:
-            pq.write_table(part, os.path.join(tmp, f"pages_{k:04d}.parquet"))
+    # chunked synthesis: one 40k-page chunk at a time (distinct seeds),
+    # written straight to shards — the single-table path held the whole
+    # multi-GB corpus in Python lists and ground for tens of minutes at
+    # 64x while this stays at one chunk of memory
+    chunk = 40_000
+    total_rows, html_bytes, shard_id = 0, 0, 0
+    remaining = n_docs
+    while remaining > 0:
+        n = min(chunk, remaining)
+        pages = synthesize_pages(n, seed=42 + shard_id)
+        html_bytes += int(pc.sum(pc.binary_length(
+            pages.column("html"))).as_py())
+        total_rows += pages.num_rows
+        per_file = max(1, (pages.num_rows + shards - 1) // shards)
+        for k in range(0, pages.num_rows, per_file):
+            part = pages.slice(k, per_file)
+            pq.write_table(part, os.path.join(
+                tmp, f"pages_{shard_id:04d}_{k // per_file:04d}.parquet"))
+        shard_id += 1
+        remaining -= n
     with open(os.path.join(tmp, "meta.json"), "w") as fh:
-        json.dump({"rows": pages.num_rows, "html_bytes": html_bytes}, fh)
+        json.dump({"rows": total_rows, "html_bytes": html_bytes}, fh)
     os.rename(tmp, out_dir)
-    return out_dir, pages.num_rows, html_bytes
+    return out_dir, total_rows, html_bytes
 
 
 def run_bench() -> dict:
