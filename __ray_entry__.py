@@ -397,6 +397,16 @@ def _q_bitext_margin(sf_dir: str):
                        margin_k=4, margin_thr_milli=1200)
 
 
+def _q_validate_corpus(sf_dir: str):
+    """Corpus expectation monitors: per-rule violation counts in one
+    streaming pass (rule partials on the exchange, never documents) +
+    the dup-id combiner groupby. Rule list and SQL mirror share one
+    definition (functions/validate.py)."""
+    from pero_ocr_ray.functions.validate import validate_corpus
+    return validate_corpus(
+        _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]))
+
+
 def _q_temperature_sample(sf_dir: str):
     """Temperature-0.5 language rebalancing (Conneau & Lample 2019/mT5):
     per-lang quota floor(sqrt(n)), selection by seeded md5 rank. Two
@@ -1665,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_upsample": _q_quality_upsample,
         "bitext_pairs": _q_bitext_pairs,
         "bitext_margin_pairs": _q_bitext_margin,
+        "validate_corpus": _q_validate_corpus,
         "temperature_sample": _q_temperature_sample,
         "mixed_stream": _q_mixed_stream,
         "doc_content_hash": _q_content_hash,
@@ -2730,6 +2741,7 @@ def _pagerank_sql(n_iter: int = 5) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pero_ocr_ray.functions.validate import validate_sql
     return {
         "extract_simple": f"""
             SELECT {_URL_SQL} AS url, {_CANON_SQL} AS extracted_text
@@ -2792,6 +2804,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_upsample": _quality_upsample_sql(),
         "bitext_pairs": _bitext_sql(),
         "bitext_margin_pairs": _bitext_margin_sql(),
+        "validate_corpus": validate_sql(),
         "mixed_stream": """
             WITH n AS (SELECT source, count(*) AS ns
                        FROM documents GROUP BY source),

@@ -1,0 +1,59 @@
+"""Corpus expectation monitors: rule semantics + SQL parity."""
+
+import duckdb
+import pandas as pd
+
+import ray.data as rd
+
+from pero_ocr_ray.functions.validate import validate_corpus, validate_sql
+
+
+def _docs():
+    return pd.DataFrame({
+        "doc_id": [0, 1, 1, 2, 3, -4],
+        "text": ["ok " * 40, "", "   \t\n", None,
+                 "short", "long enough " * 10],
+        "lang": ["en", "de", "xx", "fr", None, "es"],
+        "n_chars": [120, 0, 5, 7, 99, 120],
+    })
+
+
+def _run(df):
+    out = validate_corpus(rd.from_pandas(df)).to_pandas()
+    return out.set_index("rule")["n_bad"].to_dict()
+
+
+def test_rule_semantics():
+    got = _run(_docs())
+    # doc1 empty; doc2(None) is NULL -> only the empty row counts
+    assert got["null_or_empty_text"] == 2  # "" and NULL
+    assert got["whitespace_only_text"] == 1
+    # mismatches where text NOT NULL: doc0 len=120 ok; doc1 len 0 == 0;
+    # ws doc len 5 == 5; doc "short" len 5 != 99; last len 120 == 120
+    assert got["n_chars_mismatch"] == 1
+    assert got["lang_not_in_whitelist"] == 1  # 'xx'; NULL lang not counted
+    assert got["text_under_100_chars"] == 3  # "", ws, "short"
+    assert got["negative_doc_id"] == 1
+    assert got["duplicate_doc_id"] == 2  # doc_id 1 appears twice
+
+
+def test_sql_parity():
+    df = _docs()
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = con.execute(validate_sql()).df() \
+        .set_index("rule")["n_bad"].astype("int64").to_dict()
+    assert sql == _run(df)
+
+
+def test_clean_corpus_all_zero_except_short():
+    df = pd.DataFrame({
+        "doc_id": [0, 1], "text": ["x " * 60, "y " * 70],
+        "lang": ["en", "de"], "n_chars": [120, 140],
+    })
+    got = _run(df)
+    assert all(v == 0 for v in got.values())
+    assert set(got) == {
+        "null_or_empty_text", "whitespace_only_text", "n_chars_mismatch",
+        "lang_not_in_whitelist", "text_under_100_chars",
+        "negative_doc_id", "duplicate_doc_id"}
