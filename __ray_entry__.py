@@ -397,6 +397,16 @@ def _q_bitext_margin(sf_dir: str):
                        margin_k=4, margin_thr_milli=1200)
 
 
+def _q_perplexity_buckets_hist(sf_dir: str):
+    """The zero-sort CCNet split (histogram bin-thresholds): one bounded
+    (lang, bin) combiner histogram, driver computes |langs| threshold
+    pairs, broadcast assign pass. The 100-TB shape the exact-NTILE
+    variant's docstring trades against — both are oracled."""
+    from pero_ocr_ray.functions.ccnet import perplexity_buckets_histogram
+    return perplexity_buckets_histogram(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), vocab_size=4096)
+
+
 def _q_validate_corpus(sf_dir: str):
     """Corpus expectation monitors: per-rule violation counts in one
     streaming pass (rule partials on the exchange, never documents) +
@@ -1676,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitext_pairs": _q_bitext_pairs,
         "bitext_margin_pairs": _q_bitext_margin,
         "validate_corpus": _q_validate_corpus,
+        "perplexity_buckets_hist": _q_perplexity_buckets_hist,
         "temperature_sample": _q_temperature_sample,
         "mixed_stream": _q_mixed_stream,
         "doc_content_hash": _q_content_hash,
@@ -3200,6 +3211,35 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM wl""",
+        # histogram-split mirror: same bin rule (floor of an exact
+        # double division — |score| << 2^53), same window cumsum over
+        # bins DESC, same max-filter thresholds, same >= assignment
+        "perplexity_buckets_hist": _LM_SCORE_CTE + """
+            , wl AS (SELECT lm.doc_id, d.lang, lm.lm_score_e6
+                     FROM lm JOIN documents d USING (doc_id)),
+            q AS (SELECT doc_id, lang, lm_score_e6,
+                         CAST(floor(CAST(lm_score_e6 AS DOUBLE) / 100000)
+                              AS BIGINT) AS qs
+                  FROM wl),
+            h AS (SELECT lang, qs, CAST(count(*) AS BIGINT) AS n
+                  FROM q GROUP BY lang, qs),
+            c AS (SELECT lang, qs,
+                         SUM(n) OVER (PARTITION BY lang ORDER BY qs DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum,
+                         SUM(n) OVER (PARTITION BY lang) AS total
+                  FROM h),
+            t AS (SELECT lang,
+                         max(qs) FILTER (WHERE cum >= (total + 2) // 3)
+                             AS q1,
+                         max(qs) FILTER (WHERE cum >= (2 * total + 2)
+                                                      // 3) AS q2
+                  FROM c GROUP BY lang)
+            SELECT q.doc_id, q.lang, q.lm_score_e6,
+                   CASE WHEN q.qs >= t.q1 THEN 'head'
+                        WHEN q.qs >= t.q2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM q JOIN t USING (lang)""",
         "token_budget_cut": r"""
             WITH f AS (SELECT doc_id, lang,
                               CAST(length(regexp_extract_all(text, '\S+'))

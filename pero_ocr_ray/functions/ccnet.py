@@ -121,3 +121,85 @@ def perplexity_buckets(docs: rd.Dataset,
 
     return sorted_ds.map_batches(bucket, batch_format="pyarrow",
                                  batch_size=None)
+
+
+def perplexity_buckets_histogram(docs: rd.Dataset, vocab_size: int = 4096,
+                                 bin_e6: int = 100_000) -> rd.Dataset:
+    """The 100-TB shape the exact-NTILE trade (module docstring) points
+    to, implemented: bin-threshold terciles with ZERO global sorts.
+
+    Pass 1 reduces per-batch (lang, floor(score/bin)) partial counts to
+    a bounded histogram — |langs| x (score range / bin) rows of pure
+    metadata (driver-safe at any corpus size; the only take_all).
+    Thresholds per lang: ``q1 = max bin b with C(b) >= ceil(n/3)`` where
+    ``C(b)`` counts docs scoring in bins >= b, ``q2`` likewise at 2n/3.
+    Pass 2 broadcasts {lang: (q1, q2)} and assigns ``head`` iff
+    ``bin >= q1``, ``middle`` iff ``bin >= q2``, else ``tail`` — a pure
+    streaming map. Deterministic and partitioning-invariant: boundary-bin
+    mass lands one bucket up as a RULE, not a tie-break, so the SQL
+    mirror (same histogram, same window cumsum, same max-filter) replays
+    it exactly. Tercile sizes are approximate by at most the boundary
+    bin's mass — the CCNet trade at scale. Scores are materialized
+    between the passes (small fixed-width rows); a production run can
+    instead persist them to parquet or recompute (scoring is a
+    stateless broadcast-LM map).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from pero_ocr_ray.functions.tfidf import doc_lm_score
+
+    scores = doc_lm_score(docs, vocab_size=vocab_size,
+                          carry_cols=("lang",)).materialize()
+
+    def qpart(df: pd.DataFrame) -> pd.DataFrame:
+        qs = df["lm_score_e6"].to_numpy("int64") // bin_e6  # floor div
+        g = (pd.DataFrame({"lang": df["lang"], "qs": qs})
+             .groupby(["lang", "qs"], as_index=False)
+             .size().rename(columns={"size": "n_partial"}))
+        g["key"] = g["lang"] + "|" + g["qs"].astype(str)
+        return g[["key", "n_partial"]]
+
+    hist = (scores.map_batches(qpart, batch_format="pandas")
+            .groupby("key").aggregate(Sum("n_partial", alias_name="n")))
+    rows = hist.take_all()  # bounded: langs x bins metadata rows
+
+    per_lang: dict = {}
+    for r in rows:
+        lang, qs = r["key"].rsplit("|", 1)
+        per_lang.setdefault(lang, []).append((int(qs), int(r["n"])))
+    thresholds = {}
+    for lang, bins in per_lang.items():
+        bins.sort(key=lambda t: -t[0])  # descending score bin
+        total = sum(n for _, n in bins)
+        k1, k2 = (total + 2) // 3, (2 * total + 2) // 3
+        cum, q1, q2 = 0, None, None
+        for b, n in bins:
+            cum += n
+            if q1 is None and cum >= k1:
+                q1 = b
+            if q2 is None and cum >= k2:
+                q2 = b
+        thresholds[lang] = (q1, q2)
+    ref = ray.put(thresholds)
+
+    class Assign:
+        def __init__(self):
+            self.thr = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            qs = df["lm_score_e6"].to_numpy("int64") // bin_e6
+            q1 = df["lang"].map(lambda l: self.thr[l][0]).to_numpy("int64")
+            q2 = df["lang"].map(lambda l: self.thr[l][1]).to_numpy("int64")
+            bucket = np.where(qs >= q1, "head",
+                              np.where(qs >= q2, "middle", "tail"))
+            return pa.table({
+                "doc_id": pa.array(df["doc_id"].to_numpy("int64"),
+                                   pa.int64()),
+                "lang": pa.array(df["lang"].astype(str), pa.string()),
+                "lm_score_e6": pa.array(
+                    df["lm_score_e6"].to_numpy("int64"), pa.int64()),
+                "bucket": pa.array(bucket.astype(object), pa.string()),
+            })
+
+    return scores.map_batches(Assign, batch_format="pandas",
+                              concurrency=2)

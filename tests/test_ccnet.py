@@ -65,3 +65,33 @@ def test_small_groups_follow_ntile_sizes():
     assert sizes == {"head": 2, "middle": 1, "tail": 1}
     assert got and _sql_buckets(tbl) == {
         r["doc_id"]: (r["bucket"], r["lm_score_e6"]) for r in got}
+
+
+def test_histogram_split_sql_parity_and_tercile_quality():
+    from pero_ocr_ray.functions.ccnet import perplexity_buckets_histogram
+    tbl = _docs(120)
+    out = perplexity_buckets_histogram(rd.from_arrow(tbl),
+                                       vocab_size=256) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # SQL mirror parity (same bins, same thresholds, same >= rule)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    import __ray_entry__ as entrymod
+    sql_q = entrymod.oracle_sql()["perplexity_buckets_hist"] \
+        .replace("4096", "256").replace("4097.0", "257.0")
+    sql = con.execute(sql_q).df().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert list(sql["bucket"]) == list(out["bucket"])
+    assert list(sql["lm_score_e6"].astype("int64")) == \
+        list(out["lm_score_e6"])
+    # buckets are contiguous in score: min(head) >= max(middle) etc.
+    for lang, g in out.groupby("lang"):
+        h = g[g["bucket"] == "head"]["lm_score_e6"]
+        m = g[g["bucket"] == "middle"]["lm_score_e6"]
+        t = g[g["bucket"] == "tail"]["lm_score_e6"]
+        if len(h) and len(m):
+            assert h.min() >= m.max() - 100_000  # within one bin width
+        if len(m) and len(t):
+            assert m.min() > t.max()
+        # head holds at least a third (boundary mass rounds UP into it)
+        assert len(h) * 3 >= len(g)
