@@ -407,6 +407,16 @@ def _q_perplexity_buckets_hist(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text", "lang"]), vocab_size=4096)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Exact weighted sampling by token mass: k seeded md5 positions
+    over the corpus token line (inversion sampling), credited via the
+    frozen-block prefix-sum scan — one sort, metadata-only driver
+    traffic, streaming searchsorted assignment."""
+    from pero_ocr_ray.functions.sampling import weighted_token_sample
+    return weighted_token_sample(_docs(sf_dir, ["doc_id", "text"]),
+                                 k=200)
+
+
 def _q_validate_corpus(sf_dir: str):
     """Corpus expectation monitors: per-rule violation counts in one
     streaming pass (rule partials on the exchange, never documents) +
@@ -1687,6 +1697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitext_margin_pairs": _q_bitext_margin,
         "validate_corpus": _q_validate_corpus,
         "perplexity_buckets_hist": _q_perplexity_buckets_hist,
+        "weighted_token_sample": _q_weighted_sample,
         "temperature_sample": _q_temperature_sample,
         "mixed_stream": _q_mixed_stream,
         "doc_content_hash": _q_content_hash,
@@ -2816,6 +2827,28 @@ def oracle_sql() -> dict[str, str]:
         "bitext_pairs": _bitext_sql(),
         "bitext_margin_pairs": _bitext_margin_sql(),
         "validate_corpus": validate_sql(),
+        # inversion-sampling mirror: identical cumsum + u64-mod position
+        # arithmetic (int64 end-to-end; UBIGINT mod == Python int mod on
+        # non-negative operands)
+        "weighted_token_sample": r"""
+            WITH f AS (SELECT doc_id,
+                              CAST(length(regexp_extract_all(text, '\S+'))
+                                   AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+                  FROM f),
+            tot AS (SELECT CAST(sum(n_tokens) AS UBIGINT) AS w FROM f),
+            p AS (SELECT CAST(('0x' || substr(md5('wsample42:'
+                              || CAST(i AS VARCHAR)), 1, 16))::UBIGINT
+                              % (SELECT w FROM tot) AS BIGINT) AS pos
+                  FROM generate_series(0, 199) t(i))
+            SELECT c.doc_id, c.n_tokens, CAST(count(*) AS BIGINT) AS n_hits
+            FROM p JOIN c ON p.pos >= c.cum - c.n_tokens
+                         AND p.pos < c.cum
+            GROUP BY c.doc_id, c.n_tokens""",
         "mixed_stream": """
             WITH n AS (SELECT source, count(*) AS ns
                        FROM documents GROUP BY source),

@@ -183,3 +183,84 @@ def quality_upsample(scored: rd.Dataset, hi_milli: int = 500,
         })
 
     return scored.map_batches(expand, batch_format="pandas")
+
+
+def weighted_token_sample(docs: rd.Dataset, k: int = 200,
+                          seed: int = 42) -> rd.Dataset:
+    """Exact weighted sampling by token mass (with replacement):
+    (doc_id, text) -> (doc_id, n_tokens, n_hits >= 1).
+
+    The streaming-sampling classic, made deterministic: lay every
+    document's tokens end-to-end in ascending-doc_id order (total mass
+    W), draw ``k`` pseudo-random positions ``md5_high64(f"wsample{seed}:
+    {i}") % W``, and credit each hit to the document whose token range
+    covers it — a document's hit count is Binomial(k, w/W) in
+    distribution but exactly reproducible (SQL replays the identical
+    cumsum + position arithmetic; every value is int64).
+
+    Scale shape: ONE sort freezes a globally ordered blocking (the
+    budget.py scan pattern); pass 1 ships one (first_doc_id, block token
+    sum) row per block to the driver — cluster-metadata scale — which
+    turns them into prior offsets and W; the k positions are metadata
+    (bounded), broadcast sorted; pass 2 is a streaming searchsorted per
+    block. No corpus-scale state anywhere but the sort.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from pero_ocr_ray.kernels.textstats import TOKEN_RE
+
+    def feat(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": df["text"].str.count(TOKEN_RE).astype("int64"),
+        })
+
+    sorted_ds = (docs.map_batches(feat, batch_format="pandas")
+                 .sort("doc_id").materialize())
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_id": pa.array([], pa.int64()),
+                             "toks": pa.array([], pa.int64())})
+        return pa.table({
+            "first_id": pa.array([t.column("doc_id")[0].as_py()],
+                                 pa.int64()),
+            "toks": pa.array(
+                [int(t.column("n_tokens").to_numpy().sum())], pa.int64()),
+        })
+
+    summ = (sorted_ds.map_batches(block_summary, batch_format="pyarrow",
+                                  batch_size=None)
+            .to_pandas().sort_values("first_id", ignore_index=True))
+    total = int(summ["toks"].sum()) if len(summ) else 0
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("n_hits", pa.int64())])
+    if total == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    prior = summ["toks"].cumsum() - summ["toks"]
+    offsets = {int(f): int(p) for f, p in zip(summ["first_id"], prior)}
+    positions = np.sort(np.array(
+        [int(hashlib.md5(f"wsample{seed}:{i}".encode())
+             .hexdigest()[:16], 16) % total for i in range(k)],
+        dtype=np.int64))
+    ref = ray.put((offsets, positions))
+
+    def hits(t: pa.Table) -> pa.Table:
+        offs, pos = ray.get(ref)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = t.column("doc_id").to_numpy()
+        toks = t.column("n_tokens").to_numpy()
+        cum = offs[int(ids[0])] + np.cumsum(toks)
+        hi = np.searchsorted(pos, cum, side="left")
+        lo = np.searchsorted(pos, cum - toks, side="left")
+        n = (hi - lo).astype(np.int64)
+        m = n > 0
+        return pa.table({"doc_id": pa.array(ids[m], pa.int64()),
+                         "n_tokens": pa.array(toks[m], pa.int64()),
+                         "n_hits": pa.array(n[m], pa.int64())})
+
+    return sorted_ds.map_batches(hits, batch_format="pyarrow",
+                                 batch_size=None)

@@ -134,3 +134,46 @@ def test_margin_sql_parity():
     assert len(sql) == len(ray_out)
     for c in ["src_id", "tgt_id", "dot_q"]:
         assert list(sql[c].astype("int64")) == list(ray_out[c]), c
+
+
+# --- weighted token sampling (sampling.py) ---
+
+def test_weighted_sample_exact_and_partition_invariant():
+    import hashlib as _h
+    from pero_ocr_ray.functions.sampling import weighted_token_sample
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c", "", "d e f g h", "x"],
+    })
+    out = weighted_token_sample(rd.from_pandas(docs), k=50).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert int(out["n_hits"].sum()) == 50
+    assert 1 not in set(out["doc_id"])  # zero-token doc never hit
+    # exact replay: positions -> owner by cumsum over doc_id order
+    toks = {0: 3, 1: 0, 2: 5, 3: 1}
+    bounds = []
+    c = 0
+    for d in [0, 1, 2, 3]:
+        bounds.append((d, c, c + toks[d]))
+        c += toks[d]
+    exp = {}
+    for i in range(50):
+        pos = int(_h.md5(f"wsample42:{i}".encode()).hexdigest()[:16],
+                  16) % c
+        for d, a, b in bounds:
+            if a <= pos < b:
+                exp[d] = exp.get(d, 0) + 1
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == exp
+    # partitioning invariance
+    out2 = weighted_token_sample(
+        rd.from_pandas(docs).repartition(7), k=50).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_weighted_sample_empty_corpus():
+    from pero_ocr_ray.functions.sampling import weighted_token_sample
+    docs = pd.DataFrame({"doc_id": [0], "text": [""]})
+    out = weighted_token_sample(rd.from_pandas(docs), k=10).to_pandas()
+    assert len(out) == 0
