@@ -407,6 +407,15 @@ def _q_perplexity_buckets_hist(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text", "lang"]), vocab_size=4096)
 
 
+def _q_dsir_scores(sf_dir: str):
+    """DSIR importance resampling (arXiv:2302.03169): hashed-unigram
+    log-likelihood ratio of target (source='src0') vs raw corpus,
+    micro-nat quantized per bucket before summation. One bounded
+    combiner histogram + one broadcast scoring pass."""
+    from pero_ocr_ray.functions.dsir import dsir_scores
+    return dsir_scores(_docs(sf_dir, ["doc_id", "text", "source"]))
+
+
 def _q_weighted_sample(sf_dir: str):
     """Exact weighted sampling by token mass: k seeded md5 positions
     over the corpus token line (inversion sampling), credited via the
@@ -1698,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_corpus": _q_validate_corpus,
         "perplexity_buckets_hist": _q_perplexity_buckets_hist,
         "weighted_token_sample": _q_weighted_sample,
+        "dsir_scores": _q_dsir_scores,
         "temperature_sample": _q_temperature_sample,
         "mixed_stream": _q_mixed_stream,
         "doc_content_hash": _q_content_hash,
@@ -2830,6 +2840,40 @@ def oracle_sql() -> dict[str, str]:
         # inversion-sampling mirror: identical cumsum + u64-mod position
         # arithmetic (int64 end-to-end; UBIGINT mod == Python int mod on
         # non-negative operands)
+        # DSIR mirror: identical md5 buckets, identical micro-nat
+        # quantization per bucket BEFORE the log-ratio subtraction, so
+        # the weight table and integer doc sums are engine-exact
+        "dsir_scores": r"""
+            WITH tok AS (SELECT doc_id, source,
+                                unnest(regexp_extract_all(lower(text),
+                                       '[a-z0-9]+')) AS token
+                         FROM documents),
+            bk AS (SELECT doc_id, source,
+                          CAST(('0x' || substr(md5(token), 1, 16))
+                               ::UBIGINT % 4096 AS BIGINT) AS b
+                   FROM tok),
+            cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS na,
+                           CAST(count(*) FILTER (WHERE source = 'src0')
+                                AS BIGINT) AS nt
+                    FROM bk GROUP BY b),
+            tots AS (SELECT CAST(sum(na) AS DOUBLE) + 4096.0 AS ta,
+                            CAST(sum(nt) AS DOUBLE) + 4096.0 AS tt
+                     FROM cnt),
+            w AS (SELECT b,
+                         CAST(floor(ln((nt + 1) / (SELECT tt FROM tots))
+                                    * 1e6) AS BIGINT)
+                         - CAST(floor(ln((na + 1) / (SELECT ta FROM tots))
+                                      * 1e6) AS BIGINT) AS wt
+                  FROM cnt),
+            s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                         CAST(sum(w.wt) AS BIGINT) AS dsir_score_e6
+                  FROM bk JOIN w USING (b) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.dsir_score_e6, 0) AS dsir_score_e6,
+                   CAST(CASE WHEN coalesce(s.dsir_score_e6, 0) >= 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep_doc
+            FROM documents d LEFT JOIN s USING (doc_id)""",
         "weighted_token_sample": r"""
             WITH f AS (SELECT doc_id,
                               CAST(length(regexp_extract_all(text, '\S+'))

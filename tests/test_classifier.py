@@ -150,3 +150,39 @@ def test_quality_upsample_tiers_and_sql_parity():
     assert len(sql) == len(ray_out)
     for c in ["doc_id", "copy_idx", "order_key"]:
         assert list(sql[c]) == list(ray_out[c]), c
+
+
+def test_dsir_scores_favor_target_like_docs():
+    import importlib
+    from pero_ocr_ray.functions.dsir import dsir_scores
+    # target docs use one vocabulary, raw another; a target-like doc
+    # must outscore a raw-like one
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["apple banana apple", "apple banana cherry",
+                 "rock stone gravel", "apple stone", ""],
+        "source": ["tgt", "tgt", "raw", "raw", "raw"],
+    })
+    out = pa.table(
+        dsir_scores(rd.from_pandas(docs), target_source="tgt")
+        .take_batch(100, batch_format="pyarrow")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # relative ordering: target-vocab > mixed > raw-vocab (absolute sign
+    # depends on the target/raw token-mass ratio vs smoothing; at tiny
+    # scale target-subset-of-raw makes every ratio <= 1)
+    s = out["dsir_score_e6"]
+    assert s[0] > s[3] > s[2]
+    assert s[1] > s[2]
+    assert out.loc[4, "dsir_score_e6"] == 0 and out.loc[4, "keep_doc"] == 1
+    assert list(out["keep_doc"]) == \
+        list((out["dsir_score_e6"] >= 0).astype("int64"))
+
+    # SQL parity on the same frame (mirror swaps the target literal)
+    mod = importlib.import_module("__ray_entry__")
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql = con.execute(mod.oracle_sql()["dsir_scores"]
+                      .replace("'src0'", "'tgt'")).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for c in ["n_tokens", "dsir_score_e6", "keep_doc"]:
+        assert list(sql[c].astype("int64")) == list(out[c]), c
