@@ -136,6 +136,43 @@ def run_bench() -> dict:
     headline_sec = min(run_once("timed"), run_once("timed2"))
     load_after = loadavg1()
 
+    # steady-state throughput on 8x the headline input: the headline's
+    # seconds-long run carries ~1.7 s of parallelism-independent per-run
+    # cost (measured round 5, T(c) = S + P/c) that any real multi-hour
+    # job amortizes; this longer run reports the amortized rate. The
+    # headline value/pages_per_sec keep the historical 8x input for
+    # cross-round comparability. Skipped in scaling legs (they already
+    # run the 64x input).
+    steady = {}
+    if not os.environ.get("BENCH_SKIP_QUERIES"):
+        big_dir, big_rows, big_bytes = ensure_bench_pages(
+            SF_DIR, mult=int(os.environ.get("BENCH_MULT", "8")) * 8)
+        big_paths = sorted(os.path.join(big_dir, f)
+                           for f in os.listdir(big_dir)
+                           if f.endswith(".parquet"))
+        for p in big_paths:
+            with open(p, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+        def run_big(tag: str) -> float:
+            shutil.rmtree(f"{out_dir}_big_{tag}", ignore_errors=True)
+            t0 = time.time()
+            ds = rd.read_parquet(big_paths,
+                                 columns=["url", "warc_ts", "html",
+                                          "lang", "row_id"])
+            extract_pipeline(ds).write_parquet(f"{out_dir}_big_{tag}")
+            return time.time() - t0
+
+        steady_sec = min(run_big("t1"), run_big("t2"))
+        steady = {
+            "steady_sec": round(steady_sec, 3),
+            "steady_pages": big_rows,
+            "pages_per_sec_steady": round(big_rows / steady_sec, 2),
+            "html_mb_per_sec_steady": round(big_bytes / 1e6 / steady_sec,
+                                            2),
+        }
+
     # representative query timings over the sf tables — same steady-state
     # protocol as the headline: one untimed warmup execution (a query's
     # FIRST run in a session pays ~3-5 s of hash-shuffle aggregator actor
@@ -174,6 +211,7 @@ def run_bench() -> dict:
         "warmup_sec": round(warmup_sec, 3),
         "loadavg_before": load_before,
         "loadavg_after": load_after,
+        **steady,
     }
 
 
