@@ -527,6 +527,14 @@ def _q_decontaminate(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _q_decontaminate_spans(sf_dir: str):
+    """Surgical decontamination: contaminated n-gram spans removed,
+    documents kept. Broadcast benchmark shingle set, one streaming pass,
+    zero shuffle; both engines rebuild the identical kept-token string."""
+    from pero_ocr_ray.functions.contamination import decontaminate_spans
+    return decontaminate_spans(_docs(sf_dir), _bench_texts(sf_dir), n=3)
+
+
 def _para_docs(sf_dir: str):
     """Documents re-chunked into 10-token paragraphs, with a boilerplate
     paragraph (cookie banner) prepended to every 7th doc — deterministic
@@ -1708,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets_hist": _q_perplexity_buckets_hist,
         "weighted_token_sample": _q_weighted_sample,
         "dsir_scores": _q_dsir_scores,
+        "decontaminate_spans": _q_decontaminate_spans,
         "temperature_sample": _q_temperature_sample,
         "mixed_stream": _q_mixed_stream,
         "doc_content_hash": _q_content_hash,
@@ -2840,6 +2849,44 @@ def oracle_sql() -> dict[str, str]:
         # inversion-sampling mirror: identical cumsum + u64-mod position
         # arithmetic (int64 end-to-end; UBIGINT mod == Python int mod on
         # non-negative operands)
+        # span-decontamination mirror: positional trigrams (the _CONTAM_SQL
+        # construction, positions kept), benchmark-set match on n-gram
+        # STRINGS, window coverage via BETWEEN, kept tokens re-joined in
+        # position order — identical string to the Ray side's token join
+        "decontaminate_spans": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+')
+                                  AS toks
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS w,
+                           generate_subscripts(toks, 1) AS i FROM t),
+            tri AS (SELECT a.doc_id, a.i AS s,
+                           a.w || ' ' || b.w || ' ' || c.w AS g
+                    FROM tok a
+                    JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                    JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            bset AS (SELECT DISTINCT g FROM tri WHERE doc_id % 41 = 0),
+            m AS (SELECT doc_id, s FROM tri
+                  WHERE g IN (SELECT g FROM bset)),
+            cov AS (SELECT DISTINCT tok.doc_id, tok.i
+                    FROM tok JOIN m ON m.doc_id = tok.doc_id
+                                   AND tok.i BETWEEN m.s AND m.s + 2),
+            kept AS (SELECT tok.doc_id, tok.w, tok.i
+                     FROM tok LEFT JOIN cov
+                       ON cov.doc_id = tok.doc_id AND cov.i = tok.i
+                     WHERE cov.i IS NULL),
+            agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                           string_agg(w, ' ' ORDER BY i) AS clean_text
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+                    FROM tok GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(tot.n_tokens, 0) AS n_tokens,
+                   coalesce(tot.n_tokens, 0) - coalesce(agg.n_kept, 0)
+                       AS n_removed,
+                   coalesce(agg.clean_text, '') AS clean_text
+            FROM documents d
+            LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)""",
         # DSIR mirror: identical md5 buckets, identical micro-nat
         # quantization per bucket BEFORE the log-ratio subtraction, so
         # the weight table and integer doc sums are engine-exact

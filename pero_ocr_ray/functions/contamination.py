@@ -101,3 +101,59 @@ def decontaminate(docs: rd.Dataset, bench_texts: list[str], n: int = 3,
         return t.filter(pa.array(mask, pa.bool_()))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def decontaminate_spans(docs: rd.Dataset, bench_texts: list[str],
+                        n: int = 3) -> rd.Dataset:
+    """Surgical decontamination: REMOVE contaminated n-gram spans instead
+    of dropping documents (the GPT-3-appendix approach — a doc touching a
+    benchmark sentence loses the sentence, not its training value).
+
+    -> (doc_id, n_tokens, n_removed, clean_text) for EVERY input doc:
+    a token is removed iff it lies inside any n-gram window whose
+    shingle is in the benchmark set; ``clean_text`` is the kept tokens
+    joined by single spaces (the canonical shingle token stream —
+    lowercased ``[a-z0-9]+``), so both engines rebuild the identical
+    string. Benchmark docs fully cover themselves and come out empty.
+
+    Same scale shape as :func:`ngram_contamination`: bounded benchmark
+    shingle-hash set broadcast once, one streaming scoring pass, zero
+    shuffle. Hash membership equals string membership up to md5
+    collisions (2^-64; repo precedent).
+    """
+    import hashlib
+
+    from pero_ocr_ray.kernels.textstats import SHINGLE_RE
+
+    bench = _bench_hash_set(bench_texts, n)
+    ref = ray.put(bench)
+
+    def clean(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        ids, n_tok, n_rm, texts = [], [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            toks = SHINGLE_RE.findall((text or "").lower())
+            m = len(toks)
+            cover = np.zeros(m, dtype=bool)
+            if m >= n and len(b):
+                hs = np.fromiter(
+                    (int(hashlib.md5(" ".join(toks[i:i + n])
+                                     .encode()).hexdigest()[:16], 16)
+                     for i in range(m - n + 1)),
+                    dtype=np.uint64, count=m - n + 1)
+                for s in np.nonzero(np.isin(hs, b))[0]:
+                    cover[s:s + n] = True
+            kept = [w for w, c in zip(toks, cover) if not c]
+            ids.append(did)
+            n_tok.append(m)
+            n_rm.append(int(cover.sum()))
+            texts.append(" ".join(kept))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_removed": pa.array(n_rm, pa.int64()),
+            "clean_text": pa.array(texts, pa.string()),
+        })
+
+    return docs.map_batches(clean, batch_format="pyarrow")

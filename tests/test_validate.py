@@ -57,3 +57,35 @@ def test_clean_corpus_all_zero_except_short():
         "null_or_empty_text", "whitespace_only_text", "n_chars_mismatch",
         "lang_not_in_whitelist", "text_under_100_chars",
         "negative_doc_id", "duplicate_doc_id"}
+
+
+# --- span-level decontamination (contamination.py) ---
+
+def test_decontaminate_spans_cuts_windows_not_docs():
+    import pyarrow as pa
+    from pero_ocr_ray.functions.contamination import decontaminate_spans
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the quick brown fox jumps high",
+                 "clean words only here today",
+                 "tiny"],
+    })
+    bench = ["quick brown fox runs"]  # contaminates tokens 1..3 of doc 0
+    out = pa.table(decontaminate_spans(
+        rd.from_pandas(docs), bench, n=3)
+        .take_batch(10, batch_format="pyarrow")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "clean_text"] == "the jumps high"
+    assert out.loc[0, "n_removed"] == 3
+    assert out.loc[1, "clean_text"] == "clean words only here today"
+    assert out.loc[1, "n_removed"] == 0
+    # sub-n docs have no shingles, survive whole
+    assert out.loc[2, "clean_text"] == "tiny"
+    # overlapping matches merge their coverage
+    out2 = pa.table(decontaminate_spans(
+        rd.from_pandas(docs),
+        ["quick brown fox", "brown fox jumps"], n=3)
+        .take_batch(10, batch_format="pyarrow")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out2.loc[0, "clean_text"] == "the high"
+    assert out2.loc[0, "n_removed"] == 4
