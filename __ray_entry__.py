@@ -674,6 +674,20 @@ def _q_near_dup_clusters(sf_dir: str):
     return near_dup_clusters(_docs(sf_dir), threshold=0.7)
 
 
+def _q_cluster_reps(sf_dir: str):
+    """Keep-best-copy curation: near-dup clusters x classifier scores ->
+    the highest-quality member per cluster (tie: smaller doc_id). One
+    native join + a bucketed vectorized argmax; the oracle composes the
+    recursive-CTE closure with the classifier CTE."""
+    from pero_ocr_ray.functions.classifier import classify_docs
+    from pero_ocr_ray.functions.dedup import (cluster_representatives,
+                                              near_dup_clusters)
+    clusters = near_dup_clusters(_docs(sf_dir), threshold=0.7)
+    scored = classify_docs(_docs(sf_dir)) \
+        .select_columns(["doc_id", "clf_score"])
+    return cluster_representatives(clusters, scored)
+
+
 def _q_orders_per_segment(sf_dir: str):
     """Salted grouped join (hot-key-safe equi-join): orders joined to
     customer on custkey with the right side replicated across salt
@@ -1717,6 +1731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_token_sample": _q_weighted_sample,
         "dsir_scores": _q_dsir_scores,
         "decontaminate_spans": _q_decontaminate_spans,
+        "cluster_representatives": _q_cluster_reps,
         "temperature_sample": _q_temperature_sample,
         "mixed_stream": _q_mixed_stream,
         "doc_content_hash": _q_content_hash,
@@ -3401,6 +3416,28 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.d, e.b FROM reach r JOIN edges e ON e.a = r.n)
             SELECT d AS doc_id, CAST(MIN(n) AS BIGINT) AS cluster_id
             FROM reach GROUP BY d""",
+        # keep-best-copy compose: the recursive closure above + the
+        # classifier CTE + an argmax window (score DESC, doc_id)
+        "cluster_representatives": f"""
+            WITH RECURSIVE prs AS ({_minhash_sql(0.7)}),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                      UNION ALL SELECT doc_b, doc_a FROM prs),
+            nodes AS (SELECT DISTINCT a AS d FROM edges),
+            reach(d, n) AS (
+                SELECT d, d FROM nodes
+                UNION
+                SELECT r.d, e.b FROM reach r JOIN edges e ON e.a = r.n),
+            cl AS (SELECT d AS doc_id, CAST(MIN(n) AS BIGINT)
+                       AS cluster_id
+                   FROM reach GROUP BY d),
+            clf AS ({_classifier_sql('documents')}),
+            j AS (SELECT cl.cluster_id, cl.doc_id, clf.clf_score
+                  FROM cl JOIN clf USING (doc_id)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY clf_score DESC, doc_id) AS rn FROM j)
+            SELECT cluster_id, doc_id AS rep_doc_id,
+                   clf_score AS rep_score
+            FROM r WHERE rn = 1""",
         "orders_per_segment": """
             SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

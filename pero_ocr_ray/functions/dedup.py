@@ -483,3 +483,42 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
                  .groupby("pair_key")
                  .map_groups(lambda g: g.head(1), batch_format="pandas")
                  .drop_columns(["pair_key"]))
+
+
+def cluster_representatives(clusters: rd.Dataset, scored: rd.Dataset,
+                            score_col: str = "clf_score") -> rd.Dataset:
+    """(doc_id, cluster_id) x (doc_id, score) -> (cluster_id,
+    rep_doc_id, rep_score): the highest-scoring member per near-dup
+    cluster, tie-break smaller doc_id — the "keep the best copy, drop
+    the rest" curation step (SemDeDup-style representative selection
+    with an explicit quality criterion instead of centroid distance).
+
+    Shape: one native join (cluster rows are the small side — only docs
+    inside components) + a bucketed vectorized argmax (`cluster_id %
+    256` co-location, one pandas sort+head per bucket — the
+    paragraphs.py pattern; a cluster is never split across buckets)."""
+    import pandas as pd
+    from pero_ocr_ray.functions.join import hash_join
+
+    j = hash_join(clusters, scored, on="doc_id")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__cb", pa.array(t.column("cluster_id").to_numpy() % 256,
+                             pa.int64()))
+
+    def best(g: pd.DataFrame) -> pa.Table:
+        top = (g.sort_values(["cluster_id", score_col, "doc_id"],
+                             ascending=[True, False, True])
+               .groupby("cluster_id", as_index=False).head(1))
+        return pa.table({
+            "cluster_id": pa.array(top["cluster_id"].to_numpy("int64"),
+                                   pa.int64()),
+            "rep_doc_id": pa.array(top["doc_id"].to_numpy("int64"),
+                                   pa.int64()),
+            "rep_score": pa.array(top[score_col].to_numpy("int64"),
+                                  pa.int64()),
+        })
+
+    return (j.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__cb").map_groups(best, batch_format="pandas"))

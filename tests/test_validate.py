@@ -89,3 +89,22 @@ def test_decontaminate_spans_cuts_windows_not_docs():
         .sort_values("doc_id").reset_index(drop=True)
     assert out2.loc[0, "clean_text"] == "the high"
     assert out2.loc[0, "n_removed"] == 4
+
+
+# --- cluster representatives (dedup.py) ---
+
+def test_cluster_representatives_argmax_and_ties():
+    import pyarrow as pa
+    from pero_ocr_ray.functions.dedup import cluster_representatives
+    clusters = pd.DataFrame({"doc_id": [1, 2, 3, 7, 8],
+                             "cluster_id": [1, 1, 1, 7, 7]})
+    scored = pd.DataFrame({"doc_id": [1, 2, 3, 7, 8, 9],
+                           "clf_score": [5, 9, 9, -2, -2, 100]})
+    out = pa.table(cluster_representatives(
+        rd.from_pandas(clusters), rd.from_pandas(scored))
+        .take_batch(10, batch_format="pyarrow")).to_pandas() \
+        .sort_values("cluster_id").reset_index(drop=True)
+    # cluster 1: 2 and 3 tie at 9 -> smaller doc_id wins; doc 9 is not
+    # in any cluster and must not appear
+    assert list(zip(out["cluster_id"], out["rep_doc_id"],
+                    out["rep_score"])) == [(1, 2, 9), (7, 7, -2)]
