@@ -280,6 +280,15 @@ def _q_bpe_counts(sf_dir: str):
     return bpe_doc_counts(_docs(sf_dir))
 
 
+def _q_bpe_fertility(sf_dir: str):
+    """Tokenizer fertility per language (BPE subwords per word), the
+    standard multilingual-vocab health metric, as the exact integer
+    micro-ratio. Per-doc BPE counts with lang carried -> combiner
+    partials -> one tiny groupby(lang)."""
+    from pero_ocr_ray.functions.textstats import bpe_fertility_by_lang
+    return bpe_fertility_by_lang(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
 def _q_quality(sf_dir: str):
     from pero_ocr_ray.functions.textstats import quality_scores
     return quality_scores(_docs(sf_dir))
@@ -1732,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": _q_dsir_scores,
         "decontaminate_spans": _q_decontaminate_spans,
         "cluster_representatives": _q_cluster_reps,
+        "bpe_fertility_by_lang": _q_bpe_fertility,
         "temperature_sample": _q_temperature_sample,
         "mixed_stream": _q_mixed_stream,
         "doc_content_hash": _q_content_hash,
@@ -2816,6 +2826,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "doc_subword_counts": _subword_sql(),
         "doc_bpe_counts": _bpe_sql(),
+        # fertility compose: the per-doc BPE replay wrapped as a CTE,
+        # lang joined back, integer micro-ratio per lang
+        "bpe_fertility_by_lang": f"""
+            WITH b AS ({_bpe_sql()})
+            SELECT d.lang,
+                   CAST(sum(b.n_words) AS BIGINT) AS n_words,
+                   CAST(sum(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+                   CAST(sum(b.n_bpe_tokens) * 1000000
+                        // sum(b.n_words) AS BIGINT) AS fertility_e6
+            FROM b JOIN documents d USING (doc_id)
+            GROUP BY d.lang""",
         "redact_pii": _pii_sql(),
         "repetition_stats": _REPETITION_SQL,
         "domain_counts": _domain_counts_sql(),

@@ -39,7 +39,8 @@ def subword_token_counts(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def bpe_doc_counts(ds: rd.Dataset) -> rd.Dataset:
+def bpe_doc_counts(ds: rd.Dataset,
+                   carry_cols: tuple[str, ...] = ()) -> rd.Dataset:
     """-> (doc_id, n_words, n_bpe_tokens): REAL merges-table BPE subword
     budget per document (kernels/bpe.py fixture tokenizer) — the round-5
     upgrade over the ``SUBWORD_RE`` pretoken estimate. Vectorized: words
@@ -59,19 +60,29 @@ def bpe_doc_counts(ds: rd.Dataset) -> rd.Dataset:
             "w": toks,
         }).explode("w", ignore_index=True).dropna(subset=["w"])
         if len(ex) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "n_words": pa.array([], pa.int64()),
-                             "n_bpe_tokens": pa.array([], pa.int64())})
+            empty = {"doc_id": pa.array([], pa.int64()),
+                     "n_words": pa.array([], pa.int64()),
+                     "n_bpe_tokens": pa.array([], pa.int64())}
+            for c in carry_cols:
+                empty[c] = pa.array([], pa.string())
+            return pa.table(empty)
         counts = {w: bpe_token_count(w) for w in ex["w"].unique()}
         ex["t"] = ex["w"].map(counts).astype("int64")
         g = (ex.groupby("doc_id", as_index=False)
              .agg(n_words=("t", "size"), n_bpe_tokens=("t", "sum")))
-        return pa.table({
+        out = {
             "doc_id": pa.array(g["doc_id"].to_numpy("int64"), pa.int64()),
             "n_words": pa.array(g["n_words"].to_numpy("int64"), pa.int64()),
             "n_bpe_tokens": pa.array(g["n_bpe_tokens"].to_numpy("int64"),
                                      pa.int64()),
-        })
+        }
+        if carry_cols:  # one value per doc row rides along (no join)
+            side = (df.assign(doc_id=df["doc_id"].astype("int64"))
+                    [["doc_id", *carry_cols]].drop_duplicates("doc_id"))
+            m = g[["doc_id"]].merge(side, on="doc_id")
+            for c in carry_cols:
+                out[c] = pa.array(m[c], pa.string())
+        return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pandas")
 
@@ -291,3 +302,39 @@ def fingerprints(ds: rd.Dataset) -> rd.Dataset:
             "fingerprint": [K.rolling_fingerprint(t) for t in df["text"]],
         })
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def bpe_fertility_by_lang(ds: rd.Dataset) -> rd.Dataset:
+    """-> (lang, n_words, n_bpe_tokens, fertility_e6): the tokenizer-eval
+    fertility metric (BPE subwords per whitespace word) per language, as
+    the exact integer micro-ratio ``sum_bpe * 1e6 // sum_words``. High
+    fertility flags languages the tokenizer fragments — the standard
+    signal for rebalancing a multilingual vocab. Combiner shape: per-doc
+    BPE counts (lang carried) -> per-batch (lang, sums) partials -> one
+    tiny groupby(lang)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    counts = bpe_doc_counts(ds, carry_cols=("lang",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("lang", as_index=False)
+                .agg(w_partial=("n_words", "sum"),
+                     b_partial=("n_bpe_tokens", "sum")))
+
+    agg = (counts.map_batches(partial, batch_format="pandas")
+           .groupby("lang").aggregate(Sum("w_partial", alias_name="n_words"),
+                                      Sum("b_partial",
+                                          alias_name="n_bpe_tokens")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["n_words"].astype("int64")
+        b = df["n_bpe_tokens"].astype("int64")
+        return pd.DataFrame({
+            "lang": df["lang"].astype(str),
+            "n_words": w,
+            "n_bpe_tokens": b,
+            "fertility_e6": (b * 1_000_000 // w).astype("int64"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")
