@@ -280,6 +280,13 @@ def _q_bpe_counts(sf_dir: str):
     return bpe_doc_counts(_docs(sf_dir))
 
 
+def _q_filter_agreement(sf_dir: str):
+    """Classifier-vs-Gopher 2x2 agreement matrix (filter calibration):
+    one fused streaming pass + a <=4-key combiner groupby."""
+    from pero_ocr_ray.functions.gopher import filter_agreement
+    return filter_agreement(_docs(sf_dir))
+
+
 def _q_bpe_fertility(sf_dir: str):
     """Tokenizer fertility per language (BPE subwords per word), the
     standard multilingual-vocab health metric, as the exact integer
@@ -1742,6 +1749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_spans": _q_decontaminate_spans,
         "cluster_representatives": _q_cluster_reps,
         "bpe_fertility_by_lang": _q_bpe_fertility,
+        "filter_agreement": _q_filter_agreement,
         "temperature_sample": _q_temperature_sample,
         "mixed_stream": _q_mixed_stream,
         "doc_content_hash": _q_content_hash,
@@ -2877,6 +2885,13 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter": _c4_sql(),
         "quality_classifier": _classifier_sql(),
         "quality_funnel": _funnel_sql(),
+        "filter_agreement": f"""
+            WITH gf AS ({_gopher_sql('documents')}),
+            clf AS ({_classifier_sql('documents')})
+            SELECT clf.keep_doc, gf.pass_gopher,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM clf JOIN gf USING (doc_id)
+            GROUP BY clf.keep_doc, gf.pass_gopher""",
         "host_quality": _host_quality_sql(),
         "quality_upsample": _quality_upsample_sql(),
         "bitext_pairs": _bitext_sql(),

@@ -99,3 +99,48 @@ def gopher_flags(ds: rd.Dataset) -> rd.Dataset:
     the flag column feeds a plain ``filter`` in a curation chain.
     """
     return ds.map_batches(_flags_frame, batch_format="pandas")
+
+
+def filter_agreement(ds: rd.Dataset) -> rd.Dataset:
+    """-> (keep_doc, pass_gopher, n_docs): the 2x2 agreement matrix
+    between the hashed linear classifier's keep decision and the Gopher
+    rule verdict — the filter-calibration table every curation pipeline
+    inspects before composing filters (high disagreement = one filter is
+    doing work the other isn't). ONE fused streaming pass (Gopher flags
+    computed per batch, then the classifier pool with the flag carried)
+    plus a <=4-key combiner groupby; zero corpus-scale shuffle."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+    from pero_ocr_ray.functions.classifier import classify_docs
+
+    def add_pass(df: pd.DataFrame) -> pd.DataFrame:
+        flags = _flags_frame(df)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "text": df["text"].to_numpy(),
+            "pass_gopher": flags["pass_gopher"].astype("int64").to_numpy(),
+        })
+
+    scored = classify_docs(ds.map_batches(add_pass, batch_format="pandas"),
+                           carry_cols=("pass_gopher",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["keep_doc", "pass_gopher"], as_index=False)
+             .size().rename(columns={"size": "n_partial"}))
+        g["key"] = (g["keep_doc"].astype("int64") * 2
+                    + g["pass_gopher"].astype("int64"))
+        return g[["key", "n_partial"]]
+
+    agg = (scored.map_batches(partial, batch_format="pandas")
+           .groupby("key").aggregate(Sum("n_partial",
+                                         alias_name="n_docs")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["key"].astype("int64")
+        return pd.DataFrame({
+            "keep_doc": (k // 2).astype("int64"),
+            "pass_gopher": (k % 2).astype("int64"),
+            "n_docs": df["n_docs"].astype("int64"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")
