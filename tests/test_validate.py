@@ -108,3 +108,37 @@ def test_cluster_representatives_argmax_and_ties():
     # in any cluster and must not appear
     assert list(zip(out["cluster_id"], out["rep_doc_id"],
                     out["rep_score"])) == [(1, 2, 9), (7, 7, -2)]
+
+
+# --- fertility + filter agreement (round-5 rollups) ---
+
+def test_bpe_fertility_by_lang_ratio():
+    from pero_ocr_ray.functions.textstats import bpe_fertility_by_lang
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha beta", "gamma delta epsilon", "alpha alpha"],
+        "lang": ["en", "de", "en"],
+    })
+    out = bpe_fertility_by_lang(rd.from_pandas(docs)).to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    assert list(out["lang"]) == ["de", "en"]
+    assert list(out["n_words"]) == [3, 4]
+    for _, r in out.iterrows():
+        assert r["fertility_e6"] == \
+            r["n_bpe_tokens"] * 1_000_000 // r["n_words"]
+        assert r["fertility_e6"] >= 1_000_000  # >= one subword per word
+
+
+def test_filter_agreement_counts_sum_to_corpus():
+    from pero_ocr_ray.functions.gopher import filter_agreement
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": ["the quick brown fox jumps over the lazy dog again "
+                 * 30] * 6 + ["x", ""],
+    })
+    out = filter_agreement(rd.from_pandas(docs)).to_pandas()
+    assert int(out["n_docs"].sum()) == len(docs)
+    assert set(out.columns) == {"keep_doc", "pass_gopher", "n_docs"}
+    # short/empty docs fail gopher; the long doc passes
+    fails = out[out["pass_gopher"] == 0]["n_docs"].sum()
+    assert fails >= 2
